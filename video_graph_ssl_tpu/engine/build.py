@@ -1,0 +1,90 @@
+"""Train-state construction for pretraining and downstream training."""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..memory.build import create_contrast
+from ..solver.build import make_optimizer
+from .train_state import TrainState
+
+
+def _init_model(cfg, model, example_clips) -> Tuple[Any, Any]:
+    key = jax.random.key(int(cfg.MODEL.SEED))
+    kp, kd, kg = jax.random.split(key, 3)
+    variables = model.init(
+        {"params": kp, "dropout": kd, "graph": kg},
+        example_clips, train=False,
+    )
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def create_pretrain_state(
+    cfg, model, example_clips, n_data: int,
+    trainable_mask: Optional[Any] = None,
+) -> Tuple[TrainState, Any]:
+    """Initialize the SSL TrainState + optax transformation.
+
+    ``example_clips``: one (possibly tiny) batch with the model's input
+    shape — ``(B, 2, T, H, W, C)`` for simsiam (views inside the model),
+    ``(B, T, H, W, C)`` for moco/bank.
+
+    Replaces the reference's parse_trainer device setup + `_broadcast_memory`
+    (train_video_contrast_dis.py:78-121,233-242): under a mesh, replicated
+    init makes every chip start from identical state without any broadcast.
+    """
+    mem_type = cfg.CONTRAST.MEM_TYPE
+    params, batch_stats = _init_model(cfg, model, example_clips)
+    tx = make_optimizer(cfg, params, trainable_mask)
+    opt_state = tx.init(params)
+
+    key = jax.random.key(int(cfg.MODEL.SEED) + 1)
+    contrast = create_contrast(cfg, n_data, feat_dim=int(cfg.CROSS.FEAT_DIM),
+                               key=key)
+
+    ema_params = ema_bs = None
+    if mem_type == "moco":
+        # The EMA encoder starts as an exact copy (reference: build.py:16-32
+        # creates a second full model with the same init via seed reuse).
+        ema_params = jax.tree_util.tree_map(jnp.copy, params)
+        ema_bs = jax.tree_util.tree_map(jnp.copy, batch_stats)
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        rng=jax.random.key(int(cfg.MODEL.SEED) + 2),
+        ema_params=ema_params,
+        ema_batch_stats=ema_bs,
+        contrast=contrast,
+    )
+    return state, tx
+
+
+def linear_probe_mask(params) -> Any:
+    """True only for the ``new_fc`` head — the linear-probe freeze
+    (reference: tools/train_ds.py:81-84)."""
+    def mask(path, leaf):
+        return any(str(getattr(p, "key", "")) == "new_fc" for p in path)
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def create_downstream_state(cfg, model, example_clips) -> Tuple[TrainState, Any]:
+    """Initialize the downstream (fine-tune / linear-probe) TrainState."""
+    params, batch_stats = _init_model(cfg, model, example_clips)
+    mask = linear_probe_mask(params) if cfg.MODEL.LINEAR_PROBE else None
+    tx = make_optimizer(cfg, params, mask)
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        rng=jax.random.key(int(cfg.MODEL.SEED) + 2),
+    )
+    return state, tx

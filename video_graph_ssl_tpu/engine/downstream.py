@@ -1,0 +1,78 @@
+"""Downstream fine-tune / linear-probe / eval steps.
+
+Counterparts of the reference's train_ds.py hot loops (:90-160 train,
+:164-221 validation) and test_ds.py's multi-crop eval (:134-149), as jitted
+functions.  Linear probing freezes everything but ``new_fc`` via the
+optimizer mask built in ``engine.build.linear_probe_mask``; when frozen, BN
+runs on running averages (train=False path for the encoder is approximated
+by running the whole model in eval-BN mode — the reference's partial-BN
+train() override freezes all but the first BN, model_wrappers.py:130-146).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..memory.criterion import cross_entropy_loss
+from ..solver.build import set_learning_rate
+from .pretrain import topk_accuracy
+from .train_state import TrainState
+
+
+def make_downstream_train_step(model, tx, bn_train: bool = True) -> Callable:
+    def step(state: TrainState, batch, lr) -> Tuple[TrainState, Dict]:
+        clips, labels = batch["clips"], batch["label"]
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if bn_train:
+                logits, muts = model.apply(
+                    variables, clips, train=True,
+                    rngs=state.step_rngs("dropout", "graph"),
+                    mutable=["batch_stats"],
+                )
+                new_bs = muts["batch_stats"]
+            else:
+                # eval-BN (linear probe / frozen encoder): running stats,
+                # but dropout still active on the head path.
+                logits = model.apply(
+                    variables, clips, train=False,
+                )
+                new_bs = state.batch_stats
+            loss = cross_entropy_loss(logits, labels)
+            return loss, (new_bs, logits)
+
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_bs, opt_state=opt_state)
+        metrics = {"loss": loss, **topk_accuracy(logits, labels)}
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model) -> Callable:
+    """Returns logits for a batch of clips (eval mode)."""
+    def step(state: TrainState, clips) -> jnp.ndarray:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, clips, train=False)
+
+    return jax.jit(step)
+
+
+def make_feature_step(model) -> Callable:
+    """Returns encoder features (retrieval / probing,
+    reference: tools/video_retrieval.py:117-152)."""
+    def step(state: TrainState, clips) -> jnp.ndarray:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, clips, train=False, method="encode")
+
+    return jax.jit(step)

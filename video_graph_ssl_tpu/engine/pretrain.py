@@ -1,0 +1,192 @@
+"""SSL pretraining steps (moco / bank / simsiam), jitted and mesh-sharded.
+
+TPU-native counterpart of the reference Trainer's hot loops
+(tools/train_video_contrast_dis.py:292-530).  Each regime is ONE jitted
+function over (TrainState, batch, lr):
+
+* the batch arrives sharded over the ``data`` mesh axis; all reference
+  collectives disappear into XLA — ``_global_gather`` of keys/features
+  (:182-187) is just the global-view batch, DDP's gradient allreduce is the
+  implicit psum of the sharded loss gradient, and ShuffleBN (:189-231) is
+  superseded by global-batch BN statistics (every BN reduction spans the
+  whole global batch, so no per-device stat leak exists).
+* the EMA encoder, MoCo queue and memory bank are TrainState fields updated
+  functionally in the same step (no ``torch.no_grad`` bookkeeping).
+* the TrainState is donated: queue/bank/EMA updates are in-place in HBM.
+
+Batch contract: ``{'clips': (B, V, T, H, W, C) float, 'label': (B,),
+'index': (B,)}`` with V=2 views for moco/simsiam/bank (the reference
+concatenates views on the channel dim instead,
+video_contrast_dataset.py:202).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..memory.bank import bank_logits, bank_update
+from ..memory.criterion import nce_criterion, nce_softmax_loss
+from ..memory.moco import moco_enqueue, moco_logits
+from ..solver.build import set_learning_rate
+from .train_state import TrainState, ema_update
+
+
+def topk_accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  ks=(1, 5)) -> Dict[str, jnp.ndarray]:
+    """top-k accuracy in percent (reference: lib/evaluation/metric.py:44-67)."""
+    out = {}
+    ranks = jnp.argsort(-logits, axis=-1)
+    for k in ks:
+        hit = jnp.any(ranks[:, :k] == labels[:, None], axis=-1)
+        out[f"top{k}"] = jnp.mean(hit.astype(jnp.float32)) * 100.0
+    return out
+
+
+def _apply_kwargs(state: TrainState, params, batch_stats, train: bool):
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    kw: Dict[str, Any] = dict(train=train)
+    if train:
+        kw["rngs"] = state.step_rngs("dropout", "graph")
+        kw["mutable"] = ["batch_stats"] if batch_stats is not None else []
+    return variables, kw
+
+
+def _update(state: TrainState, tx, grads, new_batch_stats, lr,
+            **replacements) -> TrainState:
+    opt_state = set_learning_rate(state.opt_state, lr)
+    updates, opt_state = tx.update(grads, opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return state.replace(
+        step=state.step + 1,
+        params=params,
+        batch_stats=new_batch_stats,
+        opt_state=opt_state,
+        **replacements,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# SimSiam — loss computed inside the model (reference: _train_simsiam,
+# train_video_contrast_dis.py:468-530)
+# --------------------------------------------------------------------------- #
+def make_simsiam_step(model, tx) -> Callable:
+    def step(state: TrainState, batch, lr) -> Tuple[TrainState, Dict]:
+        def loss_fn(params):
+            variables, kw = _apply_kwargs(state, params, state.batch_stats, True)
+            loss, muts = model.apply(variables, batch["clips"], **kw)
+            return loss, muts["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = _update(state, tx, grads, new_bs, lr)
+        return new_state, {"loss": loss}
+
+    return step
+
+
+# --------------------------------------------------------------------------- #
+# MoCo — query encoder + EMA key encoder + queue (reference: _train_moco,
+# train_video_contrast_dis.py:374-466)
+# --------------------------------------------------------------------------- #
+def make_moco_step(model, tx, T: float, alpha: float) -> Callable:
+    def step(state: TrainState, batch, lr) -> Tuple[TrainState, Dict]:
+        x1 = batch["clips"][:, 0]
+        x2 = batch["clips"][:, 1]
+
+        # Key path: EMA params, no grad; BN stays in train mode exactly like
+        # the reference's set_bn_train on the EMA model (:385-389).  Its BN
+        # reductions span the global batch (ShuffleBN replacement).
+        variables, kw = _apply_kwargs(state, state.ema_params,
+                                      state.ema_batch_stats, True)
+        feat_k, ema_muts = model.apply(variables, x2, **kw)
+        feat_k = jax.lax.stop_gradient(feat_k)
+
+        def loss_fn(params):
+            v, kw2 = _apply_kwargs(state, params, state.batch_stats, True)
+            feat_q, muts = model.apply(v, x1, **kw2)
+            logits, labels = moco_logits(feat_q, feat_k,
+                                         state.contrast.queue, T)
+            return nce_softmax_loss(logits), (muts["batch_stats"], logits, labels)
+
+        (loss, (new_bs, logits, labels)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # all_k == the full (global) key batch under global-view jit
+        # (reference gathers explicitly, :182-187,407).
+        contrast = moco_enqueue(state.contrast, feat_k)
+        ema_params = ema_update(state.params, state.ema_params, alpha)
+
+        new_state = _update(
+            state, tx, grads, new_bs, lr,
+            ema_params=ema_params,
+            ema_batch_stats=ema_muts["batch_stats"],
+            contrast=contrast,
+        )
+        metrics = {"loss": loss, **topk_accuracy(logits, labels)}
+        return new_state, metrics
+
+    return step
+
+
+# --------------------------------------------------------------------------- #
+# Instance-discrimination memory bank (reference: _train_ins,
+# train_video_contrast_dis.py:292-372)
+# --------------------------------------------------------------------------- #
+def make_bank_step(model, tx, K: int, T: float, m: float, n_data: int,
+                   criterion: str = "crossentropy") -> Callable:
+    def step(state: TrainState, batch, lr) -> Tuple[TrainState, Dict]:
+        x = batch["clips"][:, 0]
+        index = batch["index"]
+        sample_key = jax.random.fold_in(
+            jax.random.fold_in(state.rng, state.step), 7)
+
+        def loss_fn(params):
+            v, kw = _apply_kwargs(state, params, state.batch_stats, True)
+            feat, muts = model.apply(v, x, **kw)
+            logits, labels = bank_logits(state.contrast, feat, index,
+                                         sample_key, K, T)
+            if criterion == "NCE":
+                # Reference feeds the raw (dot/T) scores straight into
+                # NCECriterion (mem_bank.py:30-40 + criterion.py:8-31).
+                loss = nce_criterion(logits, n_data)
+            else:
+                loss = nce_softmax_loss(logits)
+            return loss, (muts["batch_stats"], feat, logits, labels)
+
+        (loss, (new_bs, feat, logits, labels)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # Global-view feat/index == the reference's all_gathered versions
+        # (:319-320, mem_bank.py:82-83).
+        contrast = bank_update(state.contrast, feat, index, m)
+        new_state = _update(state, tx, grads, new_bs, lr, contrast=contrast)
+        metrics = {"loss": loss, **topk_accuracy(logits, labels)}
+        return new_state, metrics
+
+    return step
+
+
+def make_pretrain_step(cfg, model, tx, n_data: int = 0) -> Callable:
+    """Dispatch on CONTRAST.MEM_TYPE (reference: train dispatch,
+    train_video_contrast_dis.py:259-268)."""
+    mem_type = cfg.CONTRAST.MEM_TYPE
+    if mem_type == "simsiam":
+        return make_simsiam_step(model, tx)
+    if mem_type == "moco":
+        return make_moco_step(model, tx, float(cfg.CONTRAST.NCE_T),
+                              float(cfg.CONTRAST.ALPHA))
+    if mem_type == "bank":
+        return make_bank_step(
+            model, tx,
+            K=int(cfg.CONTRAST.NCE_K), T=float(cfg.CONTRAST.NCE_T),
+            m=float(cfg.CONTRAST.NCE_M), n_data=int(n_data),
+            criterion=cfg.CROSS.CRITERION,
+        )
+    raise NotImplementedError(f"Unknown Contrast type {mem_type}!")

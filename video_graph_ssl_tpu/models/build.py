@@ -1,0 +1,114 @@
+"""Model factories: name registry + ``create_visual_model``/``create_video_model``.
+
+Counterpart of lib/modeling/build.py:5-32 and the ``getattr(backbone_3d, name)``
+lookup (visual_wrappers.py:128-144).  Returns Flax module definitions; the
+MoCo EMA encoder is *not* a second module copy (reference build.py:16-32) —
+in the functional train state it is simply a second parameter pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+
+from . import resnet2d, resnet3d
+from .s3d import S3D, S3D_FEATURE_DIM
+from .tiny import TINY3D_FEATURE_DIM, Tiny3D
+from .wrappers import GraphWrapper, VideoModel, VisualEncoder
+
+# name -> (ctor, feature_dim, default graph-aug insertion points)
+# Aug points follow the reference defaults (visual_wrappers.py:113-124).
+BACKBONES_3D = {
+    "S3D": (lambda **kw: S3D(**kw), S3D_FEATURE_DIM, (5, 9, 14)),
+    "resnet3d_10": (resnet3d.resnet3d_10, 512, (2, 3, 4)),
+    "resnet3d_18": (resnet3d.resnet3d_18, 512, (2, 3, 4)),
+    "resnet3d_34": (resnet3d.resnet3d_34, 512, (2, 3, 4)),
+    "resnet3d_50": (resnet3d.resnet3d_50, 2048, (2, 3, 4)),
+    "resnet3d_101": (resnet3d.resnet3d_101, 2048, (2, 3, 4)),
+    "resnet3d_152": (resnet3d.resnet3d_152, 2048, (2, 3, 4)),
+    # test/dry-run-only micro backbone (not in the reference inventory)
+    "tiny3d": (lambda **kw: Tiny3D(**kw), TINY3D_FEATURE_DIM, (1,)),
+}
+
+BACKBONES_2D = {
+    "resnet18": (resnet2d.resnet18, 512, ()),
+    "resnet34": (resnet2d.resnet34, 512, ()),
+    "resnet50": (resnet2d.resnet50, 2048, ()),
+    "resnet101": (resnet2d.resnet101, 2048, ()),
+    "resnet152": (resnet2d.resnet152, 2048, ()),
+}
+
+
+def _lookup_backbone(name: str, backbone_type: str):
+    table = BACKBONES_3D if backbone_type == "3D" else BACKBONES_2D
+    if name not in table:
+        raise ValueError(
+            f"Unknown {backbone_type} backbone '{name}'. "
+            f"Available: {sorted(table)}"
+        )
+    return table[name]
+
+
+def graph_cfg_from(cfg) -> Dict[str, Any]:
+    """GRAPH section → TemporalGraphAug kwargs."""
+    g = cfg.GRAPH
+    return dict(
+        max_hop=g.MAX_HOP,
+        num_gcn_layers=g.NUM_GCN_LAYERS,
+        temperature=g.TEMPERATURE,
+        alpha=g.ALPHA,
+        sub_sample=g.SUB_SAMPLE,
+        max_pool=g.MAX_POOL,
+        bn_layer=g.BN_LAYER,
+        sampler=g.SAMPLER,
+        use_pallas=g.USE_PALLAS,
+    )
+
+
+def encoder_cfg_from(cfg, aug_flag: bool) -> Tuple[Dict[str, Any], int]:
+    """Build VisualEncoder kwargs from the config; returns (kwargs, feat_dim)."""
+    name = cfg.MODEL.BACKBONE
+    btype = cfg.MODEL.BACKBONE_TYPE
+    ctor, feat_dim, default_aug = _lookup_backbone(name, btype)
+    dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+    enc = dict(
+        backbone_ctor=ctor,
+        backbone_type=btype,
+        agg_fun=cfg.MODEL.POOLING_TYPE,
+        dropout=float(cfg.MODEL.DROPOUT),
+        aug_points=tuple(default_aug) if aug_flag else (),
+        graph_cfg=graph_cfg_from(cfg) if aug_flag else None,
+        remat=bool(cfg.TPU.REMAT),
+        dtype=dtype,
+    )
+    return enc, feat_dim
+
+
+def create_visual_model(cfg) -> Tuple[GraphWrapper, int]:
+    """SSL pretraining model (reference: lib/modeling/build.py:16-32).
+
+    Returns (module, feature_dim).  For MoCo the caller initializes the EMA
+    parameter copy from the same module definition — no second module.
+    Note: like the reference, pass ``cfg.MODEL.AUG_FLAG=True`` for the
+    GCA-M / GCA-S graph variants; shipped baseline configs run plain
+    MoCo-/SimSiam-video.
+    """
+    enc_cfg, feat_dim = encoder_cfg_from(cfg, aug_flag=bool(cfg.MODEL.AUG_FLAG))
+    mem_type = cfg.CONTRAST.MEM_TYPE
+    hid_dim = int(cfg.CROSS.FEAT_DIM)
+    model = GraphWrapper(
+        encoder_cfg=enc_cfg,
+        hid_dim=hid_dim,
+        head_type=cfg.CROSS.HEAD_TYPE,
+        mem_type=mem_type,
+    )
+    return model, feat_dim
+
+
+def create_video_model(cfg) -> Tuple[VideoModel, int]:
+    """Downstream fine-tune / linear-probe model
+    (reference: lib/modeling/build.py:5-14)."""
+    enc_cfg, feat_dim = encoder_cfg_from(cfg, aug_flag=bool(cfg.MODEL.AUG_FLAG))
+    model = VideoModel(encoder_cfg=enc_cfg, num_classes=int(cfg.DATASET.NUM_CLASS))
+    return model, feat_dim

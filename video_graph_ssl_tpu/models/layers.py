@@ -1,0 +1,193 @@
+"""Core 3D-CNN building blocks as Flax modules, laid out TPU-first.
+
+Design notes (vs the reference, lib/modeling/backbone/backbone_3d/s3d_1.py):
+
+* **Layout**: all activations are channels-last ``(B, T, H, W, C)`` (NDHWC),
+  the native layout for XLA:TPU convolutions — the reference's NCDHW tensors
+  would force transposes in front of every conv on TPU.
+* **Dtypes**: convolutions run in a configurable compute dtype (bfloat16 by
+  default — MXU native), parameters and batch-norm statistics stay float32.
+* **BatchNorm**: computed over the *global* batch.  Under jit with a sharded
+  batch, the mean/variance reductions are global-view, so XLA inserts the
+  cross-chip ``psum`` automatically — this is the TPU-native replacement for
+  the reference's ShuffleBN leak countermeasure
+  (reference: tools/train_video_contrast_dis.py:189-231).
+* Explicit symmetric padding reproduces the reference's PyTorch padding
+  arithmetic exactly (e.g. SepConv3d k=7,s=2,p=3:
+  reference s3d_1.py:50-69).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _triple(v) -> Tuple[int, int, int]:
+    if isinstance(v, (tuple, list)):
+        assert len(v) == 3
+        return tuple(v)
+    return (v, v, v)
+
+
+def max_pool_3d(x: jnp.ndarray, kernel_size, stride, padding=0) -> jnp.ndarray:
+    """3D max pooling on (B, T, H, W, C), PyTorch padding semantics."""
+    k = _triple(kernel_size)
+    s = _triple(stride)
+    p = _triple(padding)
+    pads = [(pi, pi) for pi in p]
+    return nn.max_pool(x, window_shape=k, strides=s, padding=pads)
+
+
+def avg_pool_3d(x: jnp.ndarray, kernel_size, stride, padding=0) -> jnp.ndarray:
+    """3D average pooling on (B, T, H, W, C), PyTorch semantics
+    (padded zeros *are* counted in the divisor, like torch's default)."""
+    k = _triple(kernel_size)
+    s = _triple(stride)
+    p = _triple(padding)
+    pads = [(pi, pi) for pi in p]
+    return nn.avg_pool(x, window_shape=k, strides=s, padding=pads,
+                       count_include_pad=True)
+
+
+class ConvBN(nn.Module):
+    """Conv3D (no bias) + BatchNorm + optional ReLU.
+
+    The fused conv+BN+ReLU epilogue is what cuDNN gave the reference for
+    free; on TPU, XLA fuses the BN scale/shift and ReLU into the convolution
+    epilogue when they appear in one jitted graph.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (0, 0, 0)
+    use_bias: bool = False
+    relu: bool = True
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.999  # flax convention; == torch momentum 0.001
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pads = [(p, p) for p in self.padding]
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=pads,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="bn",
+        )(x)
+        x = x.astype(self.dtype)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class BasicConv3d(nn.Module):
+    """1:1 counterpart of the reference's BasicConv3d (s3d_1.py:37-48):
+    full 3D conv + BN(eps=1e-3, torch momentum=1e-3) + ReLU."""
+
+    features: int
+    kernel_size: int = 1
+    strides: int = 1
+    padding: int = 0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return ConvBN(
+            features=self.features,
+            kernel_size=_triple(self.kernel_size),
+            strides=_triple(self.strides),
+            padding=_triple(self.padding),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="block",
+        )(x, train=train)
+
+
+class SepConv3d(nn.Module):
+    """Separable 3D conv: spatial (1,k,k) then temporal (k,1,1), each with
+    BN+ReLU (reference: s3d_1.py:50-69).  This factorization is the S3D hot
+    path — ~70% of model FLOPs — and both halves map straight onto the MXU
+    as NDHWC convolutions."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    padding: int = 0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k, s, p = self.kernel_size, self.strides, self.padding
+        x = ConvBN(
+            features=self.features,
+            kernel_size=(1, k, k),
+            strides=(1, s, s),
+            padding=(0, p, p),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="spatial",
+        )(x, train=train)
+        x = ConvBN(
+            features=self.features,
+            kernel_size=(k, 1, 1),
+            strides=(s, 1, 1),
+            padding=(p, 0, 0),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="temporal",
+        )(x, train=train)
+        return x
+
+
+class InceptionBlock(nn.Module):
+    """Parameterized S3D Inception block.
+
+    One module replaces the reference's nine near-identical Mixed_* classes
+    (s3d_1.py:71-329): branch0 = 1x1x1 BasicConv; branch1/2 = 1x1x1 reduce +
+    3x3x3 SepConv; branch3 = 3x3x3 maxpool + 1x1x1 BasicConv; channel concat.
+    """
+
+    b0: int
+    b1: Tuple[int, int]
+    b2: Tuple[int, int]
+    b3: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x0 = BasicConv3d(self.b0, 1, name="branch0", **kw)(x, train=train)
+        x1 = BasicConv3d(self.b1[0], 1, name="branch1_reduce", **kw)(x, train=train)
+        x1 = SepConv3d(self.b1[1], 3, padding=1, name="branch1", **kw)(x1, train=train)
+        x2 = BasicConv3d(self.b2[0], 1, name="branch2_reduce", **kw)(x, train=train)
+        x2 = SepConv3d(self.b2[1], 3, padding=1, name="branch2", **kw)(x2, train=train)
+        x3 = max_pool_3d(x, 3, 1, 1)
+        x3 = BasicConv3d(self.b3, 1, name="branch3", **kw)(x3, train=train)
+        return jnp.concatenate([x0, x1, x2, x3], axis=-1)
+
+    @staticmethod
+    def out_channels(b0: int, b1: Sequence[int], b2: Sequence[int], b3: int) -> int:
+        return b0 + b1[1] + b2[1] + b3

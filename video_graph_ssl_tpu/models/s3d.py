@@ -1,0 +1,138 @@
+"""S3D — separable 3D Inception network, the reference's default backbone.
+
+TPU-first rebuild of the reference S3D (lib/modeling/backbone/backbone_3d/
+s3d_1.py:5-329): channels-last (B, T, H, W, C) activations, bf16 compute,
+one parameterized InceptionBlock instead of nine Mixed_* classes, and
+first-class insertion points for the temporal-graph augmentation.
+
+Stage indexing matches the reference's ``base`` Sequential exactly, so the
+reference's default graph-aug points ``['base.5','base.9','base.14']``
+(lib/modeling/visual_wrappers.py:121-122) map to ``aug_points=(5, 9, 14)``
+— the augmentation runs on the *input* of the named stage, matching the
+reference's ``Sequential(TemporalGraphAug, module)`` wrapping
+(lib/ops/build.py:9-32).
+
+| idx | stage                         | out ch |
+|-----|-------------------------------|--------|
+| 0   | SepConv3d k7 s2 p3            | 64     |
+| 1   | MaxPool (1,3,3)/(1,2,2)       | 64     |
+| 2   | BasicConv3d k1                | 64     |
+| 3   | SepConv3d k3 p1               | 192    |
+| 4   | MaxPool (1,3,3)/(1,2,2)       | 192    |
+| 5   | Mixed_3b                      | 256    |
+| 6   | Mixed_3c                      | 480    |
+| 7   | MaxPool (3,3,3)/2             | 480    |
+| 8-12| Mixed_4b..4f                  | 512,512,528,832 |
+| 13  | MaxPool (2,2,2)/2             | 832    |
+| 14  | Mixed_5b                      | 832    |
+| 15  | Mixed_5c                      | 1024   |
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.temporal_graph import TemporalGraphAug
+from .layers import BasicConv3d, InceptionBlock, SepConv3d, max_pool_3d
+
+Dtype = Any
+
+# Inception channel plan: (b0, (b1r, b1), (b2r, b2), b3)
+_MIXED_SPECS = {
+    "mixed_3b": (64, (96, 128), (16, 32), 32),
+    "mixed_3c": (128, (128, 192), (32, 96), 64),
+    "mixed_4b": (192, (96, 208), (16, 48), 64),
+    "mixed_4c": (160, (112, 224), (24, 64), 64),
+    "mixed_4d": (128, (128, 256), (24, 64), 64),
+    "mixed_4e": (112, (144, 288), (32, 64), 64),
+    "mixed_4f": (256, (160, 320), (32, 128), 128),
+    "mixed_5b": (256, (160, 320), (32, 128), 128),
+    "mixed_5c": (384, (192, 384), (48, 128), 128),
+}
+
+S3D_FEATURE_DIM = 1024
+
+
+class S3D(nn.Module):
+    """S3D backbone.
+
+    ``num_classes=None`` → encoder mode: returns globally pooled
+    (B, 1024) clip features (what the SSL wrappers use after stripping the
+    classifier, reference visual_wrappers.py:102-110).  With a class count,
+    adds the 1×1×1-conv-equivalent Dense head and returns logits — the
+    reference's avg_pool3d+conv+temporal-mean (s3d_1.py:28-35) reduces to
+    global-mean-pool → Dense.
+    """
+
+    num_classes: Optional[int] = None
+    aug_points: Tuple[int, ...] = ()
+    graph_cfg: Optional[Dict[str, Any]] = None
+    remat: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        gcfg = dict(self.graph_cfg or {})
+
+        sep = SepConv3d
+        basic = BasicConv3d
+        mixed = InceptionBlock
+        if self.remat:
+            sep = nn.remat(sep, static_argnums=(2,))
+            basic = nn.remat(basic, static_argnums=(2,))
+            mixed = nn.remat(mixed, static_argnums=(2,))
+
+        stages = [
+            ("stem_0", lambda h, t: sep(64, 7, 2, 3, name="stem_0", **kw)(h, t)),
+            ("pool_1", lambda h, t: max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))),
+            ("stem_2", lambda h, t: basic(64, 1, name="stem_2", **kw)(h, t)),
+            ("stem_3", lambda h, t: sep(192, 3, 1, 1, name="stem_3", **kw)(h, t)),
+            ("pool_4", lambda h, t: max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))),
+            ("mixed_3b", None),
+            ("mixed_3c", None),
+            ("pool_7", lambda h, t: max_pool_3d(h, 3, 2, 1)),
+            ("mixed_4b", None),
+            ("mixed_4c", None),
+            ("mixed_4d", None),
+            ("mixed_4e", None),
+            ("mixed_4f", None),
+            ("pool_13", lambda h, t: max_pool_3d(h, 2, 2, 0)),
+            ("mixed_5b", None),
+            ("mixed_5c", None),
+        ]
+
+        x = x.astype(self.dtype)
+        for idx, (name, fn) in enumerate(stages):
+            if idx in self.aug_points:
+                x = TemporalGraphAug(
+                    name=f"graph_aug_{idx}",
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    **gcfg,
+                )(x, train=train)
+            if fn is not None:
+                x = fn(x, train)
+            else:
+                b0, b1, b2, b3 = _MIXED_SPECS[name]
+                x = mixed(b0, b1, b2, b3, name=name, **kw)(x, train)
+
+        # Global spatio-temporal average pool -> (B, 1024).
+        feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+        if self.num_classes is None:
+            return feat
+        logits = nn.Dense(
+            self.num_classes,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="fc",
+        )(feat)
+        return logits
+
+    @property
+    def feature_dim(self) -> int:
+        return S3D_FEATURE_DIM

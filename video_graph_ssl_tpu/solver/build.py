@@ -1,0 +1,183 @@
+"""Optimizer + LR schedule construction on optax.
+
+Counterpart of lib/solver/build.py:24-59 (``make_optimizer``: bias params get
+lr×BIAS_LR_FACTOR and WEIGHT_DECAY_BIAS; SGD(momentum, nesterov) or a named
+optimizer) and lib/solver/lr_scheduler.py:8-69 (``WarmupMultiStepLR``:
+constant/linear warmup composed with step/poly/cos decay, stepped per
+epoch).
+
+TPU-native shape: the schedule is a pure function ``epoch -> lr`` evaluated
+host-side; the lr enters the jitted train step as a traced scalar argument,
+so changing it never recompiles.  Per-group behavior (bias lr factor,
+per-group weight decay, frozen masks for linear probing / partial BN) is
+expressed with optax masks over the param pytree instead of torch param
+groups.
+"""
+
+from __future__ import annotations
+
+import math
+from bisect import bisect_right
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# --------------------------------------------------------------------------- #
+# Param labeling
+# --------------------------------------------------------------------------- #
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def label_params(params) -> Any:
+    """Label every leaf as 'bias' | 'bn' | 'weight' by its tree path.
+
+    BatchNorm scale/bias are labeled 'bn' (the reference's TSN policies give
+    BN params decay_mult=0, visual_wrappers.py:205-206); Dense/Conv biases
+    are 'bias'; everything else 'weight'.
+    """
+    def classify(path, leaf):
+        p = _path_str(path).lower()
+        if "/bn" in p or p.endswith("bn") or "batchnorm" in p:
+            return "bn"
+        if p.endswith("bias"):
+            return "bias"
+        if p.endswith("scale"):  # non-BN scale params, treat as bn-like
+            return "bn"
+        return "weight"
+
+    return jax.tree_util.tree_map_with_path(classify, params)
+
+
+def _mask_for(labels, wanted) -> Any:
+    return jax.tree_util.tree_map(lambda l: l in wanted, labels)
+
+
+def make_optimizer(
+    cfg,
+    params,
+    trainable_mask: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """Build the optax chain for the config.
+
+    ``trainable_mask``: optional bool pytree; False leaves get zero updates
+    (linear-probe freezing, reference train_ds.py:81-84).  The learning rate
+    is injected per step via ``optax.inject_hyperparams`` under the name
+    ``learning_rate``.
+    """
+    labels = label_params(params)
+    wd = float(cfg.SOLVER.WEIGHT_DECAY)
+    wd_bias = float(cfg.SOLVER.WEIGHT_DECAY_BIAS)
+    bias_factor = float(cfg.SOLVER.BIAS_LR_FACTOR)
+    name = cfg.SOLVER.OPTIMIZER_NAME
+
+    chain = []
+    # Per-group weight decay: weights get WEIGHT_DECAY; biases get
+    # WEIGHT_DECAY_BIAS; BN params get none (decay_mult=0 policy).
+    if wd:
+        chain.append(optax.masked(optax.add_decayed_weights(wd),
+                                  _mask_for(labels, ("weight",))))
+    if wd_bias:
+        chain.append(optax.masked(optax.add_decayed_weights(wd_bias),
+                                  _mask_for(labels, ("bias",))))
+    # Bias lr factor: with SGD the update is linear in the gradient, so
+    # scaling bias grads ahead of momentum == scaling their lr.
+    if bias_factor != 1.0:
+        chain.append(optax.masked(optax.scale(bias_factor),
+                                  _mask_for(labels, ("bias",))))
+
+    if name == "SGD":
+        momentum = float(cfg.SOLVER.MOMENTUM)
+        chain.append(optax.trace(decay=momentum,
+                                 nesterov=bool(cfg.SOLVER.NESTEROV)))
+    elif name in ("Adam", "AdamW"):
+        chain.append(optax.scale_by_adam())
+    elif name == "LARS":
+        # TPU-native extension for large-batch pretraining.
+        chain.append(optax.scale_by_trust_ratio())
+        chain.append(optax.trace(decay=float(cfg.SOLVER.MOMENTUM)))
+    else:
+        raise ValueError(f"Unknown optimizer: {name}")
+
+    clip = cfg.SOLVER.CLIP_GRADIENT
+    if isinstance(clip, (int, float)) and clip and clip != "none":
+        chain.insert(0, optax.clip_by_global_norm(float(clip)))
+
+    def build(learning_rate: float):
+        tx = optax.chain(*chain, optax.scale(-learning_rate))
+        return tx
+
+    tx = optax.inject_hyperparams(build)(
+        learning_rate=float(cfg.SOLVER.BASE_LR)
+    )
+    if trainable_mask is not None:
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(),
+                         jax.tree_util.tree_map(lambda t: not t, trainable_mask)),
+            tx,
+        )
+    return tx
+
+
+# --------------------------------------------------------------------------- #
+# LR schedules
+# --------------------------------------------------------------------------- #
+def make_lr_scheduler(cfg) -> Callable[[int], float]:
+    """epoch -> lr, matching WarmupMultiStepLR semantics exactly
+    (reference: lr_scheduler.py:40-69)."""
+    base_lr = float(cfg.SOLVER.BASE_LR)
+    mode = cfg.SOLVER.LR_SCHEDULER
+    milestones = list(cfg.SOLVER.STEPS)
+    gamma = float(cfg.SOLVER.GAMMA)
+    warmup_factor = float(cfg.SOLVER.WARMUP_FACTOR)
+    warmup_iters = int(cfg.SOLVER.WARMUP_ITERS)
+    warmup_method = cfg.SOLVER.WARMUP_METHOD
+    max_epochs = int(cfg.SOLVER.MAX_EPOCHS)
+    lr_step = int(cfg.SOLVER.LR_STEP)
+
+    def lr_at(epoch: int) -> float:
+        wf = 1.0
+        if epoch < warmup_iters:
+            if warmup_method == "constant":
+                wf = warmup_factor
+            elif warmup_method == "linear":
+                alpha = float(epoch) / warmup_iters
+                wf = warmup_factor * (1 - alpha) + alpha
+            else:
+                raise ValueError(f"Unknown warmup method: {warmup_method}")
+        if mode == "step":
+            if milestones:
+                factor = gamma ** bisect_right(milestones, epoch)
+            else:
+                factor = gamma ** (epoch // lr_step)
+        elif mode == "poly":
+            factor = (1.0 - float(epoch) / max_epochs) ** 0.9
+        elif mode == "cos":
+            factor = 0.5 * (1.0 + math.cos(float(epoch) / max_epochs * math.pi))
+        else:
+            raise NotImplementedError(f"Unsupported scheduler: {mode}")
+        return base_lr * wf * factor
+
+    return lr_at
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Write the scheduled lr into an inject_hyperparams state."""
+    # inject_hyperparams keeps hyperparams in a top-level InjectHyperparamsState;
+    # with the frozen-mask chain it is the second element.
+    def _set(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return True
+        return False
+
+    if _set(opt_state):
+        return opt_state
+    if isinstance(opt_state, tuple):
+        for s in opt_state:
+            if _set(s):
+                return opt_state
+    raise ValueError("Could not locate learning_rate hyperparam in opt state")
