@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""SSL contrastive pretraining (moco / bank / simsiam), TPU-native.
+
+Counterpart of the reference's tools/train_video_contrast_dis.py (597 LoC of
+mp.spawn + NCCL DDP + ShuffleBN + apex).  Here: single-controller JAX — one
+process drives the whole mesh; the global batch is sharded over the 'data'
+axis; gradient sync, key all-gather, and memory broadcast are implicit in
+the jitted step (see video_graph_ssl_tpu/parallel/mesh.py for the mapping).
+
+Usage (same CLI as the reference, README.md:9-16):
+    python tools/train_video_contrast_dis.py \
+        --config_file configs/visual_moco.yaml [KEY VALUE ...]
+
+The reference's distributed flags (--rank/--world_size/--dist-url/
+--multiprocessing-distributed) are accepted for drop-in compatibility and
+ignored: there are no per-GPU processes to spawn.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from video_graph_ssl_tpu.config import cfg
+from video_graph_ssl_tpu.data import build_video_contrastive_loader
+from video_graph_ssl_tpu.engine import (
+    create_pretrain_state,
+    make_fused_pretrain_step,
+)
+from video_graph_ssl_tpu.models import create_visual_model
+from video_graph_ssl_tpu.parallel import (
+    maybe_initialize_distributed,
+    mesh_from_cfg,
+    replicate_state,
+    shard_batch,
+)
+from video_graph_ssl_tpu.solver import make_lr_scheduler
+from video_graph_ssl_tpu.utils import (
+    AverageMeter,
+    creat_saver,
+    load_checkpoint_state,
+)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native video contrastive pretraining")
+    parser.add_argument("--config_file", default="", type=str,
+                        help="path to YAML config")
+    # Reference DDP flags, accepted and ignored (single-controller runtime):
+    parser.add_argument("--rank", default=0, type=int, help="(ignored)")
+    parser.add_argument("--world_size", default=1, type=int, help="(ignored)")
+    parser.add_argument("--dist-url", default="", type=str, help="(ignored)")
+    parser.add_argument("--multiprocessing-distributed", action="store_true",
+                        help="(ignored)")
+    parser.add_argument("--max_steps", default=0, type=int,
+                        help="debug: cap total steps (0 = unlimited)")
+    parser.add_argument("opts", nargs=argparse.REMAINDER,
+                        help="config overrides: KEY VALUE ...")
+    return parser
+
+
+class Trainer:
+    """Counterpart of the reference Trainer (:32-530) without the DDP/apex
+    plumbing: parse config -> build model/loader/state -> jitted epoch loop."""
+
+    def __init__(self, config, args):
+        self.cfg = config
+        self.args = args
+        maybe_initialize_distributed()
+        self.mesh = mesh_from_cfg(config)
+
+        self.saver, self.writer = creat_saver(config)
+        self.model, self.feat_dim = create_visual_model(config)
+        self.train_loader, self.n_data = build_video_contrastive_loader(config)
+        self.lr_fn = make_lr_scheduler(config)
+
+        # Init on a tiny slice of a real host batch (shapes only).
+        probe = next(iter(self.train_loader.epoch(0)))
+        example = self._example_from(probe)
+        self.state, self.tx = create_pretrain_state(
+            config, self.model, example, n_data=self.n_data)
+        self.state = replicate_state(self.state, self.mesh)
+
+        step_fn = make_fused_pretrain_step(config, self.model, self.tx,
+                                           n_data=self.n_data)
+        self.step_fn = jax.jit(step_fn, donate_argnums=0)
+
+        self.start_epoch = int(config.SOLVER.START_EPOCH)
+        self.best_pred = 0.0
+        self._resume()
+
+        self.batch_time = AverageMeter()
+        self.data_time = AverageMeter()
+        self.losses = AverageMeter()
+        self.top1 = AverageMeter()
+        self.top5 = AverageMeter()
+
+    def _example_from(self, probe):
+        """Shape template for init: (2, V, T, h, w, C) float after augment."""
+        base = tuple(int(s) for s in self.cfg.INPUT.BASE_SIZE)
+        t = int(self.cfg.INPUT.VIDEO_LENGTH)
+        mem_type = self.cfg.CONTRAST.MEM_TYPE
+        if mem_type == "simsiam":
+            shape = (2, 2, t, base[0], base[1], 3)
+        else:
+            shape = (2, t, base[0], base[1], 3)
+        return np.zeros(shape, np.float32)
+
+    def _resume(self):
+        path = self.cfg.CHECKPOINT.RESUME
+        if path and path != "none":
+            if not os.path.isfile(path):
+                raise RuntimeError(f"=> no checkpoint found at '{path}'")
+            self.state, meta = load_checkpoint_state(path, self.state)
+            self.state = replicate_state(self.state, self.mesh)
+            if not self.cfg.CHECKPOINT.FINETUNE:
+                self.start_epoch = int(meta.get("epoch", 0))
+                self.best_pred = float(meta.get("best_pred", 0.0))
+            print(f"=> loaded checkpoint '{path}' (epoch {meta.get('epoch')})")
+
+    def train(self, epoch: int):
+        for m in (self.batch_time, self.data_time, self.losses,
+                  self.top1, self.top5):
+            m.reset()
+        lr = self.lr_fn(epoch)
+        num_img_tr = len(self.train_loader)
+        bsz = int(self.cfg.DATALOADER.BATCH_SIZE)
+        print_freq = int(self.cfg.CHECKPOINT.PRINT_FREQ)
+
+        end = time.time()
+        for i, batch in enumerate(self.train_loader.epoch(epoch)):
+            self.data_time.update(time.time() - end)
+            batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.step_fn(self.state, batch, lr)
+
+            if i % print_freq == 0 or i == num_img_tr - 1:
+                m = {k: float(v) for k, v in metrics.items()}  # device sync
+                self.losses.update(m["loss"], bsz)
+                if "top1" in m:
+                    self.top1.update(m["top1"], bsz)
+                    self.top5.update(m["top5"], bsz)
+                self.batch_time.update(time.time() - end)
+                self.writer.add_scalar("train/total_loss_iter", m["loss"],
+                                       i + num_img_tr * epoch)
+                print(
+                    f"Epoch: [{epoch}][{i}/{num_img_tr}], lr: {lr:.5f}\t"
+                    f"Time {self.batch_time.val:.3f} ({self.batch_time.avg:.3f})\t"
+                    f"Data {self.data_time.val:.3f} ({self.data_time.avg:.3f})\t"
+                    f"Loss {self.losses.val:.4f} ({self.losses.avg:.4f})\t"
+                    f"Prec@1 {self.top1.val:.3f} ({self.top1.avg:.3f})\t"
+                    f"Prec@5 {self.top5.val:.3f} ({self.top5.avg:.3f})"
+                )
+            end = time.time()
+            if self.args.max_steps and (i + 1 + num_img_tr * epoch
+                                        ) >= self.args.max_steps:
+                break
+
+        self.writer.add_scalar("train/loss", self.losses.avg, epoch)
+        self.writer.add_scalar("train/top1_acc", self.top1.avg, epoch)
+        self.writer.add_scalar("train/top5_acc", self.top5.avg, epoch)
+        self.writer.add_scalar("lr", lr, epoch)
+
+        interval = int(self.cfg.CHECKPOINT.CHECKPOINT_INTERVAL)
+        last = int(self.cfg.SOLVER.MAX_EPOCHS) - 1
+        if (epoch + 1) % interval == 0 or epoch == last:
+            print("======>Saving Checkpoint...")
+            self.saver.save_checkpoint(
+                self.state, epoch + 1, self.best_pred,
+                filename=f"checkpoint_{epoch + 1}.msgpack")
+
+    def run(self):
+        for epoch in range(self.start_epoch, int(self.cfg.SOLVER.MAX_EPOCHS)):
+            self.train(epoch)
+            if self.args.max_steps:
+                break
+        self.writer.close()
+
+
+def main():
+    args = get_parser().parse_args()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    print(f"Running with config:\n{cfg}")
+    trainer = Trainer(cfg, args)
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

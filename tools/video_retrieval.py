@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Video retrieval: feature extraction + nearest-neighbor R@k.
+
+Counterpart of the reference's tools/video_retrieval.py (:24-280): extract
+clip features for the train and val splits with the SSL encoder (projection
+head dropped, :42), pickle them, then score val→train nearest-neighbor
+retrieval with cosine/euclidean distances and report R@{1,5,10,20,50}
+(:156-209), dumping ``topk_correct.json``.
+
+Usage:
+    python tools/video_retrieval.py --config_file configs/visual_moco.yaml \
+        --checkpoint ckpt.msgpack --extract_feature --feature_dir feats/
+    python tools/video_retrieval.py --config_file ... --feature_dir feats/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_graph_ssl_tpu.config import cfg
+from video_graph_ssl_tpu.data import make_test_loader
+from video_graph_ssl_tpu.data.transforms_device import multi_crop_eval
+from video_graph_ssl_tpu.engine import create_pretrain_state
+from video_graph_ssl_tpu.models import create_visual_model
+from video_graph_ssl_tpu.utils import load_checkpoint_state
+
+TOPK = (1, 5, 10, 20, 50)
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(description="Video retrieval R@k")
+    parser.add_argument("--config_file", default="", type=str)
+    parser.add_argument("--checkpoint", default="", type=str)
+    parser.add_argument("--extract_feature", action="store_true")
+    parser.add_argument("--feature_dir", default="features", type=str)
+    parser.add_argument("--dist_metric", default="cosine",
+                        choices=["cosine", "euclidean"])
+    parser.add_argument("--l2_norm", action="store_true", default=True)
+    parser.add_argument("--test_clips", default=10, type=int)
+    parser.add_argument("--max_videos", default=0, type=int)
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    return parser
+
+
+def build_feature_fn(config, model):
+    """jitted: (state, raw (B, n_clips, T, H, W, C) uint8) -> (B, D)
+    features averaged over clips (reference: extract_feature,
+    video_retrieval.py:101-152 averages over crops/clips)."""
+    mean = tuple(config.INPUT.MEAN)
+    std = tuple(config.INPUT.STD)
+    crop_hw = (int(config.INPUT.BASE_SIZE[0]), int(config.INPUT.BASE_SIZE[1]))
+    scale_hw = (int(config.INPUT.SCALE_SIZE[0]), int(config.INPUT.SCALE_SIZE[1]))
+
+    from functools import partial
+    crop_fn = partial(multi_crop_eval, scale_hw=scale_hw, crop_hw=crop_hw,
+                      n_crops=1, mean=mean, std=std)
+
+    @jax.jit
+    def feat_fn(state, raw):
+        b, n_clips = raw.shape[0], raw.shape[1]
+        crops = jax.vmap(jax.vmap(crop_fn))(raw)
+        x = crops.reshape((-1,) + crops.shape[3:])
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        feats = model.apply(variables, x, train=False, method="encode")
+        feats = feats.reshape(b, -1, feats.shape[-1])
+        return jnp.mean(feats, axis=1)
+
+    return feat_fn
+
+
+def extract_split(config, args, model, state, split: str):
+    split_cfg = config.clone()
+    split_cfg.defrost()
+    if split == "train":
+        split_cfg.DATASET.VALIDATION_SPLIT = config.DATASET.TRAIN_SPLIT
+    loader = make_test_loader(split_cfg, num_clips=args.test_clips)
+    feat_fn = build_feature_fn(config, model)
+
+    feats, classes = [], []
+    seen = 0
+    for batch in loader.epoch(0):
+        f = feat_fn(state, batch["clips"])
+        feats.append(np.asarray(f))
+        classes.append(batch["label"])
+        seen += len(batch["label"])
+        print(f"[{split}] extracted {seen} videos")
+        if args.max_videos and seen >= args.max_videos:
+            break
+    feats = np.concatenate(feats)
+    classes = np.concatenate(classes)
+    os.makedirs(args.feature_dir, exist_ok=True)
+    out = os.path.join(args.feature_dir, f"{split}_features.pkl")
+    with open(out, "wb") as f:
+        pickle.dump({"features": feats, "classes": classes}, f)
+    print(f"saved {out}: {feats.shape}")
+
+
+def topk_retrieval(args):
+    """(reference: topk_retrieval, video_retrieval.py:156-209)"""
+    with open(os.path.join(args.feature_dir, "train_features.pkl"), "rb") as f:
+        train = pickle.load(f)
+    with open(os.path.join(args.feature_dir, "val_features.pkl"), "rb") as f:
+        val = pickle.load(f)
+    x_train, y_train = train["features"], train["classes"]
+    x_val, y_val = val["features"], val["classes"]
+
+    if args.l2_norm:
+        x_train = x_train / np.maximum(
+            np.linalg.norm(x_train, axis=1, keepdims=True), 1e-12)
+        x_val = x_val / np.maximum(
+            np.linalg.norm(x_val, axis=1, keepdims=True), 1e-12)
+
+    if args.dist_metric == "cosine":
+        dist = 1.0 - x_val @ x_train.T
+    else:
+        dist = ((x_val[:, None, :] - x_train[None, :, :]) ** 2).sum(-1)
+
+    order = np.argsort(dist, axis=1)
+    ks = [k for k in TOPK if k <= x_train.shape[0]]
+    correct = {k: 0 for k in ks}
+    for i in range(len(x_val)):
+        neighbors = y_train[order[i]]
+        for k in ks:
+            if (neighbors[:k] == y_val[i]).any():
+                correct[k] += 1
+
+    recalls = {k: 100.0 * correct[k] / len(x_val) for k in ks}
+    for k in ks:
+        print(f"R@{k}: {recalls[k]:.2f}%")
+    with open(os.path.join(args.feature_dir, "topk_correct.json"), "w") as f:
+        json.dump(recalls, f)
+    return recalls
+
+
+def main_worker():
+    args = get_parser().parse_args()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    if args.extract_feature:
+        model, _ = create_visual_model(cfg)
+        base = tuple(int(s) for s in cfg.INPUT.BASE_SIZE)
+        t = int(cfg.INPUT.VIDEO_LENGTH)
+        shape = ((2, 2, t, base[0], base[1], 3)
+                 if cfg.CONTRAST.MEM_TYPE == "simsiam"
+                 else (2, t, base[0], base[1], 3))
+        example = np.zeros(shape, np.float32)
+        state, _tx = create_pretrain_state(cfg, model, example, n_data=1)
+        if args.checkpoint:
+            state, meta = load_checkpoint_state(args.checkpoint, state)
+            print(f"=> loaded '{args.checkpoint}' (epoch {meta.get('epoch')})")
+        extract_split(cfg, args, model, state, "train")
+        extract_split(cfg, args, model, state, "val")
+
+    topk_retrieval(args)
+
+
+if __name__ == "__main__":
+    main_worker()

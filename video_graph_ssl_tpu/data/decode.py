@@ -1,0 +1,97 @@
+"""Host-side frame decoding.
+
+Counterpart of lib/data/datasets/utils.py:91-138 (cv2/PIL loaders).  Decode
+happens on the host; everything after (resize/crop/jitter/normalize) runs
+as vectorized jitted ops on the TPU (see transforms_device.py), so the host
+does as little as possible: JPEG → RGB uint8 → resize to a fixed canvas.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+try:
+    from PIL import Image
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    Image = None
+    _HAS_PIL = False
+
+
+def opencv_loader(path: str) -> np.ndarray:
+    """JPEG → RGB uint8 HWC (reference: utils.py:123-129)."""
+    img = cv2.imread(path)
+    assert img is not None, f"failed to read {path}"
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def pil_loader(path: str) -> np.ndarray:
+    """PIL fallback (reference: utils.py:91-112)."""
+    with open(path, "rb") as f:
+        img = Image.open(f)
+        return np.asarray(img.convert("RGB"))
+
+
+def load_image(path: str, pre_load: str = "cv2") -> np.ndarray:
+    if pre_load == "cv2" and _HAS_CV2:
+        return opencv_loader(path)
+    if _HAS_PIL:
+        return pil_loader(path)
+    raise RuntimeError("Neither cv2 nor PIL is available for decoding")
+
+
+def load_flow_pair(directory: str, tmpl: str, idx: int,
+                   pre_load: str = "cv2") -> List[np.ndarray]:
+    """Flow modality: x/y channel images (reference: dataset.py:58-66)."""
+    x_img = load_image(os.path.join(directory, tmpl.format("x", idx)), pre_load)
+    y_img = load_image(os.path.join(directory, tmpl.format("y", idx)), pre_load)
+    if x_img.ndim == 3:
+        x_img = x_img[..., 0]
+    if y_img.ndim == 3:
+        y_img = y_img[..., 0]
+    return [x_img, y_img]
+
+
+def resize_frame(img: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize to (H, W) on host (canvas normalization only — the
+    augmentation resizes happen on device)."""
+    h, w = size_hw
+    if img.shape[0] == h and img.shape[1] == w:
+        return img
+    if _HAS_CV2:
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    pil = Image.fromarray(img)
+    return np.asarray(pil.resize((w, h), Image.BILINEAR))
+
+
+def load_clip(
+    directory: str,
+    image_tmpl: str,
+    indices: Sequence[int],
+    pre_load: str = "cv2",
+    canvas_hw: Optional[Tuple[int, int]] = None,
+    modality: str = "RGB",
+) -> np.ndarray:
+    """Decode the frames at 1-based ``indices`` → (T, H, W, C) uint8."""
+    frames = []
+    for idx in indices:
+        if modality == "Flow":
+            xy = load_flow_pair(directory, image_tmpl, int(idx), pre_load)
+            img = np.stack(xy, axis=-1)
+        else:
+            img = load_image(os.path.join(directory, image_tmpl.format(int(idx))),
+                             pre_load)
+        if canvas_hw is not None:
+            img = resize_frame(img, canvas_hw)
+        frames.append(img)
+    return np.stack(frames, axis=0)

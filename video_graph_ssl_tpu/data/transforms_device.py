@@ -1,0 +1,452 @@
+"""On-device, clip-consistent video augmentations (jitted, vmapped).
+
+TPU-native replacement for the reference's host-side cv2/albumentations
+per-frame Python loops (lib/data/transform/consistency_transforms.py).  The
+host only decodes JPEGs to a fixed canvas; every geometric and photometric
+op below runs as one fused XLA program over the whole (B, V, T, H, W, C)
+batch (the BASELINE.json north star's "fused on-device preprocessing").
+
+Clip-consistency contract (the reference's defining property): each clip
+draws ONE set of augmentation parameters shared by all of its T frames;
+batching is vmap over clips with split keys.
+
+Implemented ops and their reference counterparts:
+  random_resized_crop      VideoRandomResizedCrop        (:81-145)
+  color_jitter             VideoRandomColorJitter        (:275-339)
+  random_grayscale         VideoRandomGrayScale          (:263-273)
+  gaussian_blur            VideoGaussianBlur             (:226-261)
+  random_horizontal_flip   VideoRandomHorizontalFlip     (:351-364)
+  normalize                VideoNormalize                (:45-68)
+  multi_scale_crop         VideoMultiScaleCrop           (:366-468)
+  center_crop / resize     VideoCenterCrop/VideoResize
+  ssl_augment              build_video_contrast_transform_cv2
+                           (lib/data/transform/build.py:45-62)
+
+Geometric ops use ``jax.image.scale_and_translate`` so a crop window with
+*traced* (data-dependent) position/size resizes to a *static* output shape —
+no dynamic shapes ever reach XLA.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------- #
+# color helpers
+# --------------------------------------------------------------------------- #
+def rgb_to_grayscale(clip: jnp.ndarray, keep_channels: bool = True) -> jnp.ndarray:
+    """ITU-R 601 luma, matching cv2.cvtColor(RGB2GRAY)."""
+    gray = (0.299 * clip[..., 0] + 0.587 * clip[..., 1] + 0.114 * clip[..., 2])
+    gray = gray[..., None]
+    if keep_channels:
+        gray = jnp.repeat(gray, 3, axis=-1)
+    return gray
+
+
+def rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB [0,1] -> HSV [0,1]."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_delta = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(delta == 0, 0.0, h)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+# --------------------------------------------------------------------------- #
+# photometric ops (clip in [0, 255] float32)
+# --------------------------------------------------------------------------- #
+def adjust_brightness(clip, factor):
+    return jnp.clip(clip * factor, 0.0, 255.0)
+
+
+def adjust_contrast(clip, factor):
+    # torchvision semantics: blend with the mean of the grayscale image
+    # (per frame), out = f*img + (1-f)*mean.
+    gray = rgb_to_grayscale(clip, keep_channels=False)
+    mean = jnp.mean(gray, axis=(-3, -2, -1), keepdims=True)
+    return jnp.clip(clip * factor + mean * (1.0 - factor), 0.0, 255.0)
+
+
+def adjust_saturation(clip, factor):
+    gray = rgb_to_grayscale(clip, keep_channels=True)
+    return jnp.clip(clip * factor + gray * (1.0 - factor), 0.0, 255.0)
+
+
+def adjust_hue(clip, shift):
+    hsv = rgb_to_hsv(clip / 255.0)
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + shift) % 1.0)
+    return jnp.clip(hsv_to_rgb(hsv) * 255.0, 0.0, 255.0)
+
+
+def color_jitter(key: jax.Array, clip: jnp.ndarray,
+                 brightness=0.4, contrast=0.4, saturation=0.4,
+                 hue=0.1) -> jnp.ndarray:
+    """Clip-consistent ColorJitter with shuffled op order
+    (reference: VideoRandomColorJitter, consistency_transforms.py:275-339)."""
+    k_perm, kb, kc, ks, kh = jax.random.split(key, 5)
+    fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness),
+                            maxval=1 + brightness)
+    fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast),
+                            maxval=1 + contrast)
+    fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation),
+                            maxval=1 + saturation)
+    fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+
+    ops = [
+        lambda c: adjust_brightness(c, fb),
+        lambda c: adjust_contrast(c, fc),
+        lambda c: adjust_saturation(c, fs),
+        lambda c: adjust_hue(c, fh),
+    ]
+    order = jax.random.permutation(k_perm, 4)
+
+    def body(i, c):
+        return jax.lax.switch(order[i], ops, c)
+
+    return jax.lax.fori_loop(0, 4, body, clip)
+
+
+def random_grayscale(key, clip, p=0.2):
+    do = jax.random.uniform(key) < p
+    return jnp.where(do, rgb_to_grayscale(clip, keep_channels=True), clip)
+
+
+def gaussian_blur(key, clip, sigma_limit=(0.1, 2.0), kernel_size=13):
+    """Separable per-clip Gaussian blur with sampled sigma
+    (reference: VideoGaussianBlur, consistency_transforms.py:226-261)."""
+    sigma = jax.random.uniform(key, (), minval=sigma_limit[0],
+                               maxval=sigma_limit[1])
+    r = kernel_size // 2
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    g = g / jnp.sum(g)
+
+    t, h, w, c = clip.shape
+    img = clip.reshape(t, h, w, c)
+    kern_h = jnp.tile(g.reshape(kernel_size, 1, 1, 1), (1, 1, 1, c))
+    kern_w = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, c))
+    dn = jax.lax.conv_dimension_numbers(img.shape, kern_h.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    img = jax.lax.conv_general_dilated(img, kern_h, (1, 1), "SAME",
+                                       dimension_numbers=dn,
+                                       feature_group_count=c)
+    img = jax.lax.conv_general_dilated(img, kern_w, (1, 1), "SAME",
+                                       dimension_numbers=dn,
+                                       feature_group_count=c)
+    return img
+
+
+def random_horizontal_flip(key, clip, p=0.5):
+    do = jax.random.uniform(key) < p
+    return jnp.where(do, clip[:, :, ::-1, :], clip)
+
+
+def normalize(clip, mean: Sequence[float], std: Sequence[float]):
+    """(x/255 - mean)/std — VideoNormalize multiplies mean/std by 255 and
+    works in pixel space (consistency_transforms.py:45-68); identical result."""
+    mean = jnp.asarray(mean, jnp.float32) * 255.0
+    std = jnp.asarray(std, jnp.float32) * 255.0
+    return (clip - mean) / std
+
+
+# --------------------------------------------------------------------------- #
+# geometric ops
+# --------------------------------------------------------------------------- #
+def crop_and_resize(clip: jnp.ndarray, y, x, h, w,
+                    out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Resize the (traced) window [y:y+h, x:x+w] to the static ``out_hw``.
+
+    Bilinear, no antialias (cv2.INTER_LINEAR semantics).  Works with traced
+    y/x/h/w because scale_and_translate takes continuous parameters.
+    """
+    t, H, W, c = clip.shape
+    oh, ow = out_hw
+    sy = oh / h.astype(jnp.float32)
+    sx = ow / w.astype(jnp.float32)
+    scale = jnp.stack([sy, sx])
+    translation = jnp.stack([-y.astype(jnp.float32) * sy,
+                             -x.astype(jnp.float32) * sx])
+    return jax.image.scale_and_translate(
+        clip, (t, oh, ow, c), spatial_dims=(1, 2),
+        scale=scale, translation=translation,
+        method="linear", antialias=False,
+    )
+
+
+def resize_clip(clip: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    t, H, W, c = clip.shape
+    return jax.image.resize(clip, (t, out_hw[0], out_hw[1], c), method="linear")
+
+
+def center_crop(clip: jnp.ndarray, crop_hw: Tuple[int, int]) -> jnp.ndarray:
+    t, H, W, c = clip.shape
+    ch, cw = crop_hw
+    y = (H - ch) // 2
+    x = (W - cw) // 2
+    return clip[:, y:y + ch, x:x + cw, :]
+
+
+def random_resized_crop(
+    key: jax.Array, clip: jnp.ndarray, out_hw: Tuple[int, int],
+    scale=(0.2, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0), attempts: int = 10,
+) -> jnp.ndarray:
+    """torchvision RandomResizedCrop parameterization, vectorized over the
+    10 attempts (reference: VideoRandomResizedCrop,
+    consistency_transforms.py:81-145)."""
+    t, H, W, c = clip.shape
+    area = float(H * W)
+    k_area, k_ratio, k_i, k_j = jax.random.split(key, 4)
+
+    target_area = jax.random.uniform(
+        k_area, (attempts,), minval=scale[0], maxval=scale[1]) * area
+    log_ratio = jax.random.uniform(
+        k_ratio, (attempts,), minval=math.log(ratio[0]),
+        maxval=math.log(ratio[1]))
+    aspect = jnp.exp(log_ratio)
+    ws = jnp.round(jnp.sqrt(target_area * aspect)).astype(jnp.int32)
+    hs = jnp.round(jnp.sqrt(target_area / aspect)).astype(jnp.int32)
+    valid = (ws > 0) & (ws <= W) & (hs > 0) & (hs <= H)
+    # first valid attempt (argmax returns first True), else fallback
+    first = jnp.argmax(valid)
+    any_valid = jnp.any(valid)
+
+    w_sel = ws[first]
+    h_sel = hs[first]
+    u_i = jax.random.uniform(k_i, (attempts,))
+    u_j = jax.random.uniform(k_j, (attempts,))
+    i_sel = jnp.floor(u_i[first] * (H - h_sel + 1).astype(jnp.float32)).astype(jnp.int32)
+    j_sel = jnp.floor(u_j[first] * (W - w_sel + 1).astype(jnp.float32)).astype(jnp.int32)
+
+    # fallback: clamp to valid aspect, centered (torchvision fallback path)
+    in_ratio = float(W) / float(H)
+    if in_ratio < ratio[0]:
+        fw, fh = W, int(round(W / ratio[0]))
+    elif in_ratio > ratio[1]:
+        fh, fw = H, int(round(H * ratio[1]))
+    else:
+        fw, fh = W, H
+    fi, fj = (H - fh) // 2, (W - fw) // 2
+
+    h_f = jnp.where(any_valid, h_sel, fh)
+    w_f = jnp.where(any_valid, w_sel, fw)
+    i_f = jnp.where(any_valid, i_sel, fi)
+    j_f = jnp.where(any_valid, j_sel, fj)
+    return crop_and_resize(clip, i_f, j_f, h_f, w_f, out_hw)
+
+
+def _fix_offsets_13(image_w, image_h, crop_w, crop_h):
+    """The TSN 13-position fixed-offset grid
+    (reference: fill_fix_offset, consistency_transforms.py:447-468).
+    Returns (13, 2) [w_offset, h_offset]; works on traced crop sizes."""
+    w4 = (image_w - crop_w) / 4.0
+    h4 = (image_h - crop_h) / 4.0
+    grid = jnp.asarray([
+        (0, 0), (4, 0), (0, 4), (4, 4), (2, 2),
+        (0, 2), (4, 2), (2, 4), (2, 0),
+        (1, 1), (3, 1), (1, 3), (3, 3),
+    ], jnp.float32)
+    return jnp.stack([grid[:, 0] * w4, grid[:, 1] * h4], axis=1)
+
+
+def multi_scale_crop(
+    key: jax.Array, clip: jnp.ndarray, input_size: Tuple[int, int],
+    scales=(1.0, 0.875, 0.75, 0.66), max_distort: int = 1,
+    more_fix_crop: bool = True,
+) -> jnp.ndarray:
+    """TSN-style MultiScaleCrop (reference: VideoMultiScaleCrop,
+    consistency_transforms.py:366-468): random (w, h) pair from the scale
+    grid (|i-j| <= max_distort), random one of the 13 fixed offsets, crop,
+    resize to ``input_size``."""
+    t, H, W, c = clip.shape
+    base = min(H, W)
+    crop_sizes = [int(base * s) for s in scales]
+    crop_h_opts = [input_size[0] if abs(x - input_size[0]) < 3 else x
+                   for x in crop_sizes]
+    crop_w_opts = [input_size[1] if abs(x - input_size[1]) < 3 else x
+                   for x in crop_sizes]
+    pairs = [(w, h)
+             for i, h in enumerate(crop_h_opts)
+             for j, w in enumerate(crop_w_opts)
+             if abs(i - j) <= max_distort]
+    pairs_arr = jnp.asarray(pairs, jnp.int32)        # (P, 2) [w, h]
+
+    k_pair, k_off = jax.random.split(key)
+    pidx = jax.random.randint(k_pair, (), 0, len(pairs))
+    crop_w = pairs_arr[pidx, 0]
+    crop_h = pairs_arr[pidx, 1]
+
+    offsets = _fix_offsets_13(W, H, crop_w.astype(jnp.float32),
+                              crop_h.astype(jnp.float32))
+    n_off = 13 if more_fix_crop else 5
+    oidx = jax.random.randint(k_off, (), 0, n_off)
+    off_w = offsets[oidx, 0].astype(jnp.int32)
+    off_h = offsets[oidx, 1].astype(jnp.int32)
+    return crop_and_resize(clip, off_h, off_w, crop_h, crop_w, input_size)
+
+
+# --------------------------------------------------------------------------- #
+# pipelines
+# --------------------------------------------------------------------------- #
+def ssl_augment(
+    key: jax.Array, clip: jnp.ndarray, out_hw: Tuple[int, int],
+    mean, std,
+    rrc_scale=(0.2, 1.0), jitter_p=0.8, gray_p=0.2, blur_p=0.5, flip_p=0.5,
+) -> jnp.ndarray:
+    """The SSL augmentation chain
+    (reference: build_video_contrast_transform_cv2, transform/build.py:45-62):
+    RRC(0.2-1.0) → ColorJitter(.4,.4,.4,.1)@p.8 → Gray@p.2 →
+    GaussianBlur(σ∈[.1,2])@p.5 → HFlip@p.5 → Normalize."""
+    keys = jax.random.split(key, 7)
+    clip = clip.astype(jnp.float32)
+    clip = random_resized_crop(keys[0], clip, out_hw, scale=rrc_scale)
+    jittered = color_jitter(keys[1], clip)
+    clip = jnp.where(jax.random.uniform(keys[2]) < jitter_p, jittered, clip)
+    clip = random_grayscale(keys[3], clip, p=gray_p)
+    blurred = gaussian_blur(keys[4], clip)
+    clip = jnp.where(jax.random.uniform(keys[5]) < blur_p, blurred, clip)
+    clip = random_horizontal_flip(keys[6], clip, p=flip_p)
+    return normalize(clip, mean, std)
+
+
+def train_augment(
+    key: jax.Array, clip: jnp.ndarray, out_hw: Tuple[int, int], mean, std,
+    scales=(1.0, 0.875, 0.75, 0.66), flip_p=0.5,
+) -> jnp.ndarray:
+    """Downstream train chain (reference: build_transform_cv2 train,
+    transform/build.py:27-37): MultiScaleCrop → HFlip → Normalize."""
+    k1, k2 = jax.random.split(key)
+    clip = clip.astype(jnp.float32)
+    clip = multi_scale_crop(k1, clip, out_hw, scales=scales)
+    clip = random_horizontal_flip(k2, clip, p=flip_p)
+    return normalize(clip, mean, std)
+
+
+def eval_transform(clip: jnp.ndarray, scale_hw, crop_hw, mean, std) -> jnp.ndarray:
+    """Eval chain (reference: build_transform_cv2 val): Resize → CenterCrop
+    → Normalize.  Fully static — no rng."""
+    clip = clip.astype(jnp.float32)
+    clip = resize_clip(clip, tuple(scale_hw))
+    clip = center_crop(clip, tuple(crop_hw))
+    return normalize(clip, mean, std)
+
+
+def multi_crop_eval(
+    clip: jnp.ndarray, scale_hw, crop_hw, n_crops: int, mean, std,
+) -> jnp.ndarray:
+    """Deterministic multi-crop test-time augmentation.
+
+    (T, H, W, C) -> (n_crops, T, ch, cw, C).  Crop grids follow the
+    reference: 1 = center (VideoCenterCrop); 3 = left/center/right full-res
+    (VideoFullResSample, :509-551); 5 = 4 corners + center
+    (VideoOverSampleCrop, :470-507); 6 / 10 = the 3- / 5-crop sets plus
+    their horizontal flips.
+    """
+    clip = resize_clip(clip.astype(jnp.float32), tuple(scale_hw))
+    H, W = scale_hw
+    ch, cw = crop_hw
+    flip = n_crops in (6, 10)
+    base = {1: 1, 3: 3, 5: 5, 6: 3, 10: 5}[n_crops]
+
+    if base == 1:
+        offsets = [((H - ch) // 2, (W - cw) // 2)]
+    elif base == 3:
+        w4, h4 = (W - cw) // 4, (H - ch) // 4
+        offsets = [(2 * h4, 0), (2 * h4, 4 * w4), (2 * h4, 2 * w4)]
+    else:
+        w4, h4 = (W - cw) // 4, (H - ch) // 4
+        offsets = [(0, 0), (0, 4 * w4), (4 * h4, 0), (4 * h4, 4 * w4),
+                   (2 * h4, 2 * w4)]
+
+    crops = []
+    for (oy, ox) in offsets:
+        c = clip[:, oy:oy + ch, ox:ox + cw, :]
+        crops.append(c)
+    if flip:
+        crops.extend([c[:, :, ::-1, :] for c in crops])
+    out = jnp.stack(crops, axis=0)
+    return normalize(out, mean, std)
+
+
+def make_batch_augment_fn(cfg, kind: str):
+    """Build the batch-level augmentation as a plain traceable function
+    (compose into a larger jitted step — e.g. fused into the train step —
+    or jit directly via ``make_batch_augment``).
+
+    kind='ssl':   (key, clips (B,V,T,H,W,C) uint8) -> float32 normalized
+    kind='train': (key, clips (B,T,H,W,C) uint8)   -> float32 normalized
+    kind='eval':  (clips (B,T,H,W,C) uint8)        -> float32 normalized
+    """
+    mean = tuple(cfg.INPUT.MEAN)
+    std = tuple(cfg.INPUT.STD)
+    out_hw = (int(cfg.INPUT.BASE_SIZE[0]), int(cfg.INPUT.BASE_SIZE[1]))
+    crop_hw = (int(cfg.INPUT.CROP_SIZE[0]), int(cfg.INPUT.CROP_SIZE[1]))
+    scale_hw = (int(cfg.INPUT.SCALE_SIZE[0]), int(cfg.INPUT.SCALE_SIZE[1]))
+    flip_p = 0.5 if cfg.INPUT.FLIP else 0.0
+
+    if kind == "ssl":
+        per_clip = partial(ssl_augment, out_hw=out_hw, mean=mean, std=std,
+                           flip_p=flip_p)
+
+        def fn(key, clips):
+            b, v = clips.shape[0], clips.shape[1]
+            keys = jax.random.split(key, b * v).reshape(b, v)
+            return jax.vmap(jax.vmap(per_clip))(keys, clips)
+
+        return fn
+
+    if kind == "train":
+        per_clip = partial(train_augment, out_hw=out_hw, mean=mean, std=std,
+                           flip_p=flip_p)
+
+        def fn(key, clips):
+            keys = jax.random.split(key, clips.shape[0])
+            return jax.vmap(per_clip)(keys, clips)
+
+        return fn
+
+    if kind == "eval":
+        per_clip = partial(eval_transform, scale_hw=scale_hw, crop_hw=crop_hw,
+                           mean=mean, std=std)
+
+        def fn(clips):
+            return jax.vmap(per_clip)(clips)
+
+        return fn
+
+    raise ValueError(f"unknown augment kind: {kind}")
+
+
+def make_batch_augment(cfg, kind: str):
+    """Jitted version of ``make_batch_augment_fn``."""
+    return jax.jit(make_batch_augment_fn(cfg, kind))

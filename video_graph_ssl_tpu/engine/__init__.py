@@ -5,9 +5,16 @@ from .build import (
     create_pretrain_state,
     linear_probe_mask,
 )
-from .downstream import make_downstream_train_step, make_eval_step, make_feature_step
+from .downstream import (
+    make_downstream_train_step,
+    make_eval_step,
+    make_feature_step,
+    make_fused_downstream_step,
+    make_fused_eval_step,
+)
 from .pretrain import (
     make_bank_step,
+    make_fused_pretrain_step,
     make_moco_step,
     make_pretrain_step,
     make_simsiam_step,
@@ -22,10 +29,13 @@ __all__ = [
     "create_downstream_state",
     "linear_probe_mask",
     "make_pretrain_step",
+    "make_fused_pretrain_step",
     "make_simsiam_step",
     "make_moco_step",
     "make_bank_step",
     "make_downstream_train_step",
+    "make_fused_downstream_step",
+    "make_fused_eval_step",
     "make_eval_step",
     "make_feature_step",
     "topk_accuracy",

@@ -59,6 +59,37 @@ def make_downstream_train_step(model, tx, bn_train: bool = True) -> Callable:
     return step
 
 
+def make_fused_downstream_step(cfg, model, tx, bn_train: bool = True) -> Callable:
+    """Downstream train step with the MultiScaleCrop/flip/normalize chain
+    fused into the same jitted program (raw uint8 canvas clips in)."""
+    from ..data.transforms_device import make_batch_augment_fn
+
+    inner = make_downstream_train_step(model, tx, bn_train)
+    augment = make_batch_augment_fn(cfg, "train")
+
+    def step(state: TrainState, raw_batch, lr):
+        key = jax.random.fold_in(
+            jax.random.fold_in(state.rng, state.step), 13)
+        clips = augment(key, raw_batch["clips"])
+        return inner(state, dict(raw_batch, clips=clips), lr)
+
+    return step
+
+
+def make_fused_eval_step(cfg, model) -> Callable:
+    """Eval step with resize/center-crop/normalize fused in; returns logits."""
+    from ..data.transforms_device import make_batch_augment_fn
+
+    augment = make_batch_augment_fn(cfg, "eval")
+
+    def step(state: TrainState, raw_clips) -> jnp.ndarray:
+        clips = augment(raw_clips)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, clips, train=False)
+
+    return jax.jit(step)
+
+
 def make_eval_step(model) -> Callable:
     """Returns logits for a batch of clips (eval mode)."""
     def step(state: TrainState, clips) -> jnp.ndarray:

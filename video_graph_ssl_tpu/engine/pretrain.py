@@ -173,6 +173,27 @@ def make_bank_step(model, tx, K: int, T: float, m: float, n_data: int,
     return step
 
 
+def make_fused_pretrain_step(cfg, model, tx, n_data: int = 0) -> Callable:
+    """Pretrain step with the SSL augmentation chain fused into the same
+    jitted program: raw uint8 canvas clips in, updated state out.  One XLA
+    program per step — preprocessing, both encoder passes, loss, optimizer,
+    and queue/bank update all fuse and overlap (the reference pays a
+    separate Python/cv2 pipeline per batch, consistency_transforms.py)."""
+    from ..data.transforms_device import make_batch_augment_fn
+
+    inner = make_pretrain_step(cfg, model, tx, n_data)
+    augment = make_batch_augment_fn(cfg, "ssl")
+
+    def step(state: TrainState, raw_batch, lr):
+        key = jax.random.fold_in(
+            jax.random.fold_in(state.rng, state.step), 13)
+        clips = augment(key, raw_batch["clips"])
+        batch = dict(raw_batch, clips=clips)
+        return inner(state, batch, lr)
+
+    return step
+
+
 def make_pretrain_step(cfg, model, tx, n_data: int = 0) -> Callable:
     """Dispatch on CONTRAST.MEM_TYPE (reference: train dispatch,
     train_video_contrast_dis.py:259-268)."""
