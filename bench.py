@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: SSL pretrain step throughput on the attached TPU chip.
+
+Measures the flagship workload — S3D MoCo contrastive pretraining
+(configs/visual_moco.yaml geometry: two 16x112x112 views per clip) with the
+full fused step: on-device augmentation chain + query/EMA-key encoder
+passes + queue logits/InfoNCE + optimizer + queue/EMA update, all one XLA
+program with donated state.
+
+Prints ONE JSON line:
+    {"metric": "pretrain_clips_per_sec_per_chip", "value": N,
+     "unit": "clips/s", "vs_baseline": R}
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md).
+``A100_REF_CLIPS_PER_SEC`` is a documented estimate of the PyTorch
+reference on one A100: S3D @ 16x112x112 MoCo, fp16/AMP DDP video-SSL
+pipelines of this family typically sustain ~200-300 clips/s/GPU
+(2x ~4.5 GFLOP forwards + backward per clip plus cv2 CPU augmentation,
+which is the usual bottleneck).  We use 250 clips/s; vs_baseline =
+value / 250.  BASELINE.json's north star is >=5x per-chip parity.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_REF_CLIPS_PER_SEC = 250.0
+
+
+def main():
+    import jax
+
+    from video_graph_ssl_tpu.config import cfg as CFG
+    from video_graph_ssl_tpu.engine import (
+        create_pretrain_state,
+        make_fused_pretrain_step,
+    )
+    from video_graph_ssl_tpu.models import create_visual_model
+    from video_graph_ssl_tpu.parallel import make_mesh, replicate_state, shard_batch
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    cfg = CFG.clone()
+    cfg.merge_from_file("configs/visual_moco.yaml")
+    cfg.DATASET.SOURCE = "synthetic"
+    if not on_tpu:  # CPU fallback keeps the bench runnable anywhere
+        cfg.MODEL.BACKBONE = "tiny3d"
+        cfg.INPUT.BASE_SIZE = [32, 32]
+        cfg.INPUT.SCALE_SIZE = [40, 40]
+        cfg.INPUT.VIDEO_LENGTH = 4
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    batch_size = 32 if on_tpu else 8
+    t = int(cfg.INPUT.VIDEO_LENGTH)
+    canvas = (int(cfg.INPUT.SCALE_SIZE[0]), int(cfg.INPUT.SCALE_SIZE[1]))
+
+    mesh = make_mesh((-1,), ("data",))
+    model, _ = create_visual_model(cfg)
+    example = np.zeros(
+        (2, t, int(cfg.INPUT.BASE_SIZE[0]), int(cfg.INPUT.BASE_SIZE[1]), 3),
+        np.float32)
+    state, tx = create_pretrain_state(cfg, model, example, n_data=1000)
+    state = replicate_state(state, mesh)
+
+    step = jax.jit(make_fused_pretrain_step(cfg, model, tx, n_data=1000),
+                   donate_argnums=0)
+
+    g = np.random.default_rng(0)
+    batch = {
+        "clips": g.integers(0, 256, (batch_size, 2, t, *canvas, 3),
+                            dtype=np.uint8),
+        "label": np.zeros(batch_size, np.int32),
+        "index": np.arange(batch_size, dtype=np.int32),
+    }
+    batch = shard_batch(batch, mesh)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics = step(state, batch, 0.06)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 30 if on_tpu else 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, 0.06)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "pretrain_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / A100_REF_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""Checkpoint round-trip + SSL->downstream encoder surgery."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from video_graph_ssl_tpu.engine import create_downstream_state, create_pretrain_state
+from video_graph_ssl_tpu.models import create_video_model, create_visual_model
+from video_graph_ssl_tpu.utils import (
+    load_checkpoint_state,
+    load_params_only,
+    save_checkpoint_state,
+    transfer_encoder_params,
+)
+
+
+def _tree_allclose(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype,
+                                                         jax.dtypes.prng_key):
+            x = jax.random.key_data(x)
+            y = jax.random.key_data(y)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+
+
+def test_roundtrip_pretrain_state(tiny_cfg, tmp_path):
+    c = tiny_cfg.clone()
+    c.CONTRAST.MEM_TYPE = "moco"
+    model, _ = create_visual_model(c)
+    x = jnp.zeros((2, 4, 16, 16, 3), jnp.float32)
+    state, tx = create_pretrain_state(c, model, x, n_data=16)
+
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint_state(path, state, epoch=7, best_pred=1.5)
+    restored, meta = load_checkpoint_state(path, state)
+    assert meta["epoch"] == 7 and meta["best_pred"] == 1.5
+    _tree_allclose(state.params, restored.params)
+    _tree_allclose(state.ema_params, restored.ema_params)
+    np.testing.assert_allclose(np.asarray(state.contrast.queue),
+                               np.asarray(restored.contrast.queue))
+    # rng key survives and still works
+    jax.random.fold_in(restored.rng, 0)
+
+
+def test_encoder_surgery(tiny_cfg, tmp_path):
+    c = tiny_cfg.clone()
+    c.CONTRAST.MEM_TYPE = "simsiam"
+    ssl_model, _ = create_visual_model(c)
+    x2 = jnp.zeros((2, 2, 4, 16, 16, 3), jnp.float32)
+    ssl_state, _tx = create_pretrain_state(c, ssl_model, x2, n_data=16)
+    path = str(tmp_path / "ssl.msgpack")
+    save_checkpoint_state(path, ssl_state, epoch=1)
+
+    ds_model, _ = create_video_model(c)
+    x1 = jnp.zeros((2, 4, 16, 16, 3), jnp.float32)
+    ds_state, _tx2 = create_downstream_state(c, ds_model, x1)
+    fc_before = np.asarray(ds_state.params["new_fc"]["kernel"]).copy()
+
+    ssl_sd, meta = load_params_only(path)
+    new_params, new_stats = transfer_encoder_params(
+        ssl_sd, dict(ds_state.params), dict(ds_state.batch_stats))
+
+    # encoder params now equal the SSL encoder's
+    ssl_enc_leaf = jax.tree_util.tree_leaves(
+        ssl_sd["params"]["model"]["encoder"])[0]
+    ds_enc_leaf = jax.tree_util.tree_leaves(new_params["encoder"])[0]
+    np.testing.assert_allclose(np.asarray(ssl_enc_leaf),
+                               np.asarray(ds_enc_leaf))
+    # new_fc untouched (reference skips it, train_ds.py:70-79)
+    np.testing.assert_allclose(np.asarray(new_params["new_fc"]["kernel"]),
+                               fc_before)
+
+    # surgically assembled model still runs
+    ds_state = ds_state.replace(params=new_params, batch_stats=new_stats)
+    logits = jax.jit(lambda s, x: ds_model.apply(
+        {"params": s.params, "batch_stats": s.batch_stats}, x,
+        train=False))(ds_state, x1)
+    assert logits.shape == (2, int(tiny_cfg.DATASET.NUM_CLASS))

@@ -1,0 +1,115 @@
+"""End-to-end jitted train steps for all three SSL regimes + downstream."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_graph_ssl_tpu.engine import (
+    create_downstream_state,
+    create_pretrain_state,
+    make_downstream_train_step,
+    make_pretrain_step,
+)
+from video_graph_ssl_tpu.models import create_video_model, create_visual_model
+
+B, T, H, W = 4, 4, 16, 16
+N_DATA = 32
+
+
+def _batch(two_views=True):
+    g = np.random.default_rng(0)
+    v = 2 if two_views else 1
+    return {
+        "clips": jnp.asarray(g.normal(size=(B, 2, T, H, W, 3)), jnp.float32),
+        "label": jnp.zeros((B,), jnp.int32),
+        "index": jnp.arange(B, dtype=jnp.int32),
+    }
+
+
+def _setup(tiny_cfg, mem_type):
+    c = tiny_cfg.clone()
+    c.CONTRAST.MEM_TYPE = mem_type
+    model, _ = create_visual_model(c)
+    batch = _batch()
+    example = batch["clips"][:2] if mem_type == "simsiam" \
+        else batch["clips"][:2, 0]
+    state, tx = create_pretrain_state(c, model, example, n_data=N_DATA)
+    step = jax.jit(make_pretrain_step(c, model, tx, n_data=N_DATA),
+                   donate_argnums=0)
+    return c, state, step, batch
+
+
+def test_simsiam_step_decreases_loss(tiny_cfg):
+    c, state, step, batch = _setup(tiny_cfg, "simsiam")
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch, 0.5)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # repeated steps on one batch must reduce the (negative-cosine) loss
+    assert losses[-1] < losses[0]
+
+
+def test_moco_step_updates_queue_and_ema(tiny_cfg):
+    c, state, step, batch = _setup(tiny_cfg, "moco")
+    q0 = np.asarray(state.contrast.queue).copy()
+    ema0 = np.asarray(
+        jax.tree_util.tree_leaves(state.ema_params)[0]).copy()
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+
+    state, metrics = step(state, batch, 0.1)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "top1" in metrics and "top5" in metrics
+    # queue rows [0, B) replaced by the new keys
+    q1 = np.asarray(state.contrast.queue)
+    assert not np.allclose(q0[:B], q1[:B])
+    np.testing.assert_allclose(q0[B:], q1[B:])
+    assert int(state.ptr if hasattr(state, "ptr") else state.contrast.ptr) == B
+    # ema moved toward the updated params by (1-alpha) of the step delta —
+    # a tiny but nonzero change (alpha=0.999)
+    ema1 = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert np.any(ema1 != ema0)
+    assert np.abs(ema1 - ema0).max() < np.abs(p1 - p0).max()
+
+
+def test_moco_keys_are_normalized_enqueued(tiny_cfg):
+    c, state, step, batch = _setup(tiny_cfg, "moco")
+    state, _ = step(state, batch, 0.1)
+    rows = np.asarray(state.contrast.queue[:B])
+    np.testing.assert_allclose(np.linalg.norm(rows, axis=1), 1.0, rtol=1e-4)
+
+
+def test_bank_step_updates_rows(tiny_cfg):
+    c, state, step, batch = _setup(tiny_cfg, "bank")
+    mem0 = np.asarray(state.contrast.memory).copy()
+    state, metrics = step(state, batch, 0.1)
+    mem1 = np.asarray(state.contrast.memory)
+    assert np.isfinite(float(metrics["loss"]))
+    touched = np.asarray(batch["index"])
+    untouched = np.setdiff1d(np.arange(N_DATA), touched)
+    assert not np.allclose(mem0[touched], mem1[touched])
+    np.testing.assert_allclose(mem0[untouched], mem1[untouched])
+
+
+def test_downstream_step_and_probe_freeze(tiny_cfg):
+    c = tiny_cfg.clone()
+    c.MODEL.LINEAR_PROBE = True
+    model, _ = create_video_model(c)
+    x = jnp.zeros((2, T, H, W, 3), jnp.float32)
+    state, tx = create_downstream_state(c, model, x)
+    step = jax.jit(make_downstream_train_step(model, tx, bn_train=False),
+                   donate_argnums=0)
+    batch = {"clips": jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, T, H, W, 3)), jnp.float32),
+        "label": jnp.asarray([0, 1, 2, 3], jnp.int32)}
+    enc0 = np.asarray(
+        jax.tree_util.tree_leaves(state.params["encoder"])[0]).copy()
+    fc0 = np.asarray(state.params["new_fc"]["kernel"]).copy()
+    state, metrics = step(state, batch, 0.5)
+    assert np.isfinite(float(metrics["loss"]))
+    enc1 = np.asarray(jax.tree_util.tree_leaves(state.params["encoder"])[0])
+    fc1 = np.asarray(state.params["new_fc"]["kernel"])
+    np.testing.assert_allclose(enc0, enc1)           # frozen
+    assert not np.allclose(fc0, fc1)                 # head trains

@@ -1,0 +1,69 @@
+"""Multi-chip sharding on a fake 8-device CPU mesh.
+
+Runs in a subprocess because this interpreter's JAX backend is already
+initialized (axon sitecustomize); the subprocess clears PYTHONPATH and
+forces an 8-device CPU platform — JAX's standard fake-multichip harness
+(SURVEY.md §4).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = r"""
+import numpy as np, jax, jax.numpy as jnp
+assert len(jax.devices()) == 8, jax.devices()
+import sys; sys.path.insert(0, %(repo)r)
+from video_graph_ssl_tpu.config import cfg as CFG
+from video_graph_ssl_tpu.models import create_visual_model
+from video_graph_ssl_tpu.engine import create_pretrain_state, make_pretrain_step
+from video_graph_ssl_tpu.parallel import make_mesh, shard_batch, replicate_state
+
+cfg = CFG.clone()
+cfg.MODEL.BACKBONE = 'tiny3d'; cfg.MODEL.BACKBONE_TYPE = '3D'
+cfg.MODEL.AUG_FLAG = True; cfg.MODEL.DROPOUT = 0.0
+cfg.CONTRAST.MEM_TYPE = 'moco'; cfg.CONTRAST.NCE_K = 32
+cfg.CROSS.FEAT_DIM = 16; cfg.TPU.COMPUTE_DTYPE = 'float32'
+
+mesh = make_mesh((-1,), ('data',))
+assert mesh.shape['data'] == 8
+
+model, _ = create_visual_model(cfg)
+B, T, H, W = 16, 4, 16, 16
+example = jnp.zeros((2, T, H, W, 3), jnp.float32)
+state, tx = create_pretrain_state(cfg, model, example, n_data=64)
+state = replicate_state(state, mesh)
+step = jax.jit(make_pretrain_step(cfg, model, tx), donate_argnums=0)
+
+batch = {'clips': np.random.default_rng(0).normal(size=(B, 2, T, H, W, 3)).astype(np.float32),
+         'label': np.zeros(B, np.int32), 'index': np.arange(B, dtype=np.int32)}
+batch = shard_batch(batch, mesh)
+# batch really is sharded over 8 devices
+assert len(batch['clips'].sharding.device_set) == 8
+
+state, metrics = step(state, batch, 0.1)
+state, metrics = step(state, batch, 0.1)
+loss = float(metrics['loss'])
+assert np.isfinite(loss)
+# queue update saw the GLOBAL batch: 16 rows written after 1 step
+assert int(state.contrast.ptr) == (2 * B) %% 32
+# state stays replicated across all devices
+assert len(jax.tree_util.tree_leaves(state.params)[0].sharding.device_set) == 8
+print('SHARDING_OK', loss)
+"""
+
+
+@pytest.mark.slow
+def test_moco_step_on_8_device_mesh():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""  # bypass axon sitecustomize
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_NUM_CPU_DEVICES"] = "8"
+    script = SCRIPT % {"repo": REPO}
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=1200)
+    assert "SHARDING_OK" in out.stdout, out.stdout + "\n" + out.stderr

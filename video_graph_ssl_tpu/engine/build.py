@@ -16,10 +16,11 @@ from .train_state import TrainState
 def _init_model(cfg, model, example_clips) -> Tuple[Any, Any]:
     key = jax.random.key(int(cfg.MODEL.SEED))
     kp, kd, kg = jax.random.split(key, 3)
-    variables = model.init(
-        {"params": kp, "dropout": kd, "graph": kg},
-        example_clips, train=False,
-    )
+    # jit the whole init: eager per-op dispatch of hundreds of param
+    # initializers is pathologically slow on remote TPU backends.
+    init_fn = jax.jit(lambda rngs, x: model.init(rngs, x, train=False))
+    variables = init_fn({"params": kp, "dropout": kd, "graph": kg},
+                        example_clips)
     return variables["params"], variables.get("batch_stats", {})
 
 

@@ -121,14 +121,16 @@ def make_moco_step(model, tx, T: float, alpha: float) -> Callable:
         # all_k == the full (global) key batch under global-view jit
         # (reference gathers explicitly, :182-187,407).
         contrast = moco_enqueue(state.contrast, feat_k)
-        ema_params = ema_update(state.params, state.ema_params, alpha)
 
         new_state = _update(
             state, tx, grads, new_bs, lr,
-            ema_params=ema_params,
             ema_batch_stats=ema_muts["batch_stats"],
             contrast=contrast,
         )
+        # EMA after the optimizer step, mixing the UPDATED params
+        # (reference: _momentum_update runs post-step, :437-440).
+        new_state = new_state.replace(
+            ema_params=ema_update(new_state.params, state.ema_params, alpha))
         metrics = {"loss": loss, **topk_accuracy(logits, labels)}
         return new_state, metrics
 

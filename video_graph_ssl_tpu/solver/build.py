@@ -40,12 +40,14 @@ def label_params(params) -> Any:
     are 'bias'; everything else 'weight'.
     """
     def classify(path, leaf):
-        p = _path_str(path).lower()
-        if "/bn" in p or p.endswith("bn") or "batchnorm" in p:
+        comps = [str(getattr(p, "key", getattr(p, "idx", p))).lower()
+                 for p in path]
+        if any(c == "bn" or c.startswith("bn_") or "batchnorm" in c
+               or (c.startswith("bn") and c[2:].isdigit()) for c in comps):
             return "bn"
-        if p.endswith("bias"):
+        if comps and comps[-1] == "bias":
             return "bias"
-        if p.endswith("scale"):  # non-BN scale params, treat as bn-like
+        if comps and comps[-1] == "scale":  # norm scales, treat as bn-like
             return "bn"
         return "weight"
 
@@ -114,10 +116,14 @@ def make_optimizer(
         learning_rate=float(cfg.SOLVER.BASE_LR)
     )
     if trainable_mask is not None:
+        # Zero the FINAL updates of frozen leaves (after weight decay etc.),
+        # so frozen params are bit-identical across steps
+        # (reference: requires_grad=False, train_ds.py:81-84).
         tx = optax.chain(
-            optax.masked(optax.set_to_zero(),
-                         jax.tree_util.tree_map(lambda t: not t, trainable_mask)),
             tx,
+            optax.masked(optax.set_to_zero(),
+                         jax.tree_util.tree_map(lambda t: not t,
+                                                trainable_mask)),
         )
     return tx
 
