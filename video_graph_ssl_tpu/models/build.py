@@ -12,7 +12,10 @@ from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 
-from . import resnet2d, resnet3d
+from . import resnet2d, resnet2p1d, resnet3d
+from .bninception import BNINCEPTION_FEATURE_DIM, bninception
+from .i3d import I3D, I3D_FEATURE_DIM
+from .inceptionv3 import INCEPTIONV3_FEATURE_DIM, inception_v3
 from .s3d import S3D, S3D_FEATURE_DIM
 from .tiny import TINY3D_FEATURE_DIM, Tiny3D
 from .wrappers import GraphWrapper, VideoModel, VisualEncoder
@@ -21,6 +24,16 @@ from .wrappers import GraphWrapper, VideoModel, VisualEncoder
 # Aug points follow the reference defaults (visual_wrappers.py:113-124).
 BACKBONES_3D = {
     "S3D": (lambda **kw: S3D(**kw), S3D_FEATURE_DIM, (5, 9, 14)),
+    # S3D-G: same topology, biased temporal convs (S3DG_Pytorch.py:310-355)
+    "S3DG": (lambda **kw: S3D(temporal_bias=True, **kw),
+             S3D_FEATURE_DIM, (5, 9, 14)),
+    # Both reference I3D implementations (i3dpt.py / i3d_inception.py,
+    # byte-near duplicates) map to one TF-SAME-padded network.
+    "I3D": (lambda **kw: I3D(**kw), I3D_FEATURE_DIM, (5, 9, 14)),
+    "InceptionI3d": (lambda **kw: I3D(**kw), I3D_FEATURE_DIM, (5, 9, 14)),
+    "resnet2p1d_10": (resnet2p1d.resnet2p1d_10, 512, (2, 3, 4)),
+    "resnet2p1d_18": (resnet2p1d.resnet2p1d_18, 512, (2, 3, 4)),
+    "resnet2p1d_34": (resnet2p1d.resnet2p1d_34, 512, (2, 3, 4)),
     "resnet3d_10": (resnet3d.resnet3d_10, 512, (2, 3, 4)),
     "resnet3d_18": (resnet3d.resnet3d_18, 512, (2, 3, 4)),
     "resnet3d_34": (resnet3d.resnet3d_34, 512, (2, 3, 4)),
@@ -32,6 +45,8 @@ BACKBONES_3D = {
 }
 
 BACKBONES_2D = {
+    "bninception": (bninception, BNINCEPTION_FEATURE_DIM, ()),
+    "inception_v3": (inception_v3, INCEPTIONV3_FEATURE_DIM, ()),
     "resnet18": (resnet2d.resnet18, 512, ()),
     "resnet34": (resnet2d.resnet34, 512, ()),
     "resnet50": (resnet2d.resnet50, 2048, ()),

@@ -55,27 +55,38 @@ def avg_pool_3d(x: jnp.ndarray, kernel_size, stride, padding=0) -> jnp.ndarray:
 
 
 class ConvBN(nn.Module):
-    """Conv3D (no bias) + BatchNorm + optional ReLU.
+    """Conv3D (no bias by default) + BatchNorm + optional ReLU.
 
     The fused conv+BN+ReLU epilogue is what cuDNN gave the reference for
     free; on TPU, XLA fuses the BN scale/shift and ReLU into the convolution
     epilogue when they appear in one jitted graph.
+
+    ``padding`` may be a per-dim int tuple (PyTorch symmetric semantics) or
+    the string 'SAME' (TF semantics — what the reference's I3D emulates by
+    hand, i3dpt.py:38-122).
     """
 
     features: int
     kernel_size: Tuple[int, int, int]
     strides: Tuple[int, int, int] = (1, 1, 1)
-    padding: Tuple[int, int, int] = (0, 0, 0)
+    padding: Any = (0, 0, 0)
     use_bias: bool = False
     relu: bool = True
     bn_eps: float = 1e-3
     bn_momentum: float = 0.999  # flax convention; == torch momentum 0.001
+    kernel_init: Any = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        pads = [(p, p) for p in self.padding]
+        if isinstance(self.padding, str):
+            pads = self.padding
+        else:
+            pads = [(p, p) for p in self.padding]
+        kw = {}
+        if self.kernel_init is not None:
+            kw["kernel_init"] = self.kernel_init
         x = nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
@@ -85,6 +96,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
+            **kw,
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
@@ -128,12 +140,18 @@ class SepConv3d(nn.Module):
     """Separable 3D conv: spatial (1,k,k) then temporal (k,1,1), each with
     BN+ReLU (reference: s3d_1.py:50-69).  This factorization is the S3D hot
     path — ~70% of model FLOPs — and both halves map straight onto the MXU
-    as NDHWC convolutions."""
+    as NDHWC convolutions.
+
+    ``temporal_bias=True`` gives the S3DG 'STConv3d' variant: both convs
+    biased, temporal conv init Normal(0, 0.01)
+    (reference: S3DG_Pytorch.py:20-43).
+    """
 
     features: int
     kernel_size: int
     strides: int = 1
     padding: int = 0
+    temporal_bias: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -145,6 +163,7 @@ class SepConv3d(nn.Module):
             kernel_size=(1, k, k),
             strides=(1, s, s),
             padding=(0, p, p),
+            use_bias=self.temporal_bias,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="spatial",
@@ -154,6 +173,9 @@ class SepConv3d(nn.Module):
             kernel_size=(k, 1, 1),
             strides=(s, 1, 1),
             padding=(p, 0, 0),
+            use_bias=self.temporal_bias,
+            kernel_init=(nn.initializers.normal(stddev=0.01)
+                         if self.temporal_bias else None),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="temporal",
@@ -173,17 +195,19 @@ class InceptionBlock(nn.Module):
     b1: Tuple[int, int]
     b2: Tuple[int, int]
     b3: int
+    temporal_bias: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        skw = dict(temporal_bias=self.temporal_bias, **kw)
         x0 = BasicConv3d(self.b0, 1, name="branch0", **kw)(x, train=train)
         x1 = BasicConv3d(self.b1[0], 1, name="branch1_reduce", **kw)(x, train=train)
-        x1 = SepConv3d(self.b1[1], 3, padding=1, name="branch1", **kw)(x1, train=train)
+        x1 = SepConv3d(self.b1[1], 3, padding=1, name="branch1", **skw)(x1, train=train)
         x2 = BasicConv3d(self.b2[0], 1, name="branch2_reduce", **kw)(x, train=train)
-        x2 = SepConv3d(self.b2[1], 3, padding=1, name="branch2", **kw)(x2, train=train)
+        x2 = SepConv3d(self.b2[1], 3, padding=1, name="branch2", **skw)(x2, train=train)
         x3 = max_pool_3d(x, 3, 1, 1)
         x3 = BasicConv3d(self.b3, 1, name="branch3", **kw)(x3, train=train)
         return jnp.concatenate([x0, x1, x2, x3], axis=-1)

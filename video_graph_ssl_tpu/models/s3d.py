@@ -71,12 +71,16 @@ class S3D(nn.Module):
     aug_points: Tuple[int, ...] = ()
     graph_cfg: Optional[Dict[str, Any]] = None
     remat: bool = False
+    # S3DG variant (reference S3DG_Pytorch.py:310-355): same topology,
+    # biased temporal convs with Normal(0, 0.01) init ('STConv3d').
+    temporal_bias: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        skw = dict(temporal_bias=self.temporal_bias, **kw)
         gcfg = dict(self.graph_cfg or {})
 
         sep = SepConv3d
@@ -88,10 +92,10 @@ class S3D(nn.Module):
             mixed = nn.remat(mixed, static_argnums=(2,))
 
         stages = [
-            ("stem_0", lambda h, t: sep(64, 7, 2, 3, name="stem_0", **kw)(h, t)),
+            ("stem_0", lambda h, t: sep(64, 7, 2, 3, name="stem_0", **skw)(h, t)),
             ("pool_1", lambda h, t: max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))),
             ("stem_2", lambda h, t: basic(64, 1, name="stem_2", **kw)(h, t)),
-            ("stem_3", lambda h, t: sep(192, 3, 1, 1, name="stem_3", **kw)(h, t)),
+            ("stem_3", lambda h, t: sep(192, 3, 1, 1, name="stem_3", **skw)(h, t)),
             ("pool_4", lambda h, t: max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))),
             ("mixed_3b", None),
             ("mixed_3c", None),
@@ -119,7 +123,7 @@ class S3D(nn.Module):
                 x = fn(x, train)
             else:
                 b0, b1, b2, b3 = _MIXED_SPECS[name]
-                x = mixed(b0, b1, b2, b3, name=name, **kw)(x, train)
+                x = mixed(b0, b1, b2, b3, name=name, **skw)(x, train)
 
         # Global spatio-temporal average pool -> (B, 1024).
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))

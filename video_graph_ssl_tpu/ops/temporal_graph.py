@@ -257,22 +257,38 @@ class TemporalGraphAug(nn.Module):
         g_q = g_q.reshape(b, t, -1)
         g_k = g_k.reshape(b, t, -1)
 
-        sim = jnp.einsum(
-            "bid,bjd->bij", g_q, g_k, preferred_element_type=jnp.float32
-        )
-        sim = jax.nn.softmax(sim, axis=-1)
-
         theta = jnp.asarray(hop_weight_matrix(t, self.max_hop, self.alpha))
-        adj = sim * theta[None]
+        sampling = train and self.sampler != "none"
 
-        if train and self.sampler != "none":
-            key = self.make_rng("graph")
-            if self.sampler == "relaxed_bernoulli":
-                adj = relaxed_bernoulli_sample(key, adj, self.temperature)
-            elif self.sampler == "gaussian":
-                adj = gaussian_perturb_sample(key, adj, self.alpha)
+        if (self.use_pallas and self.sampler == "relaxed_bernoulli"
+                and jax.devices()[0].platform == "tpu"):
+            # Fused VMEM kernel: qk^T + softmax + hop reweight + Gumbel
+            # sample in one pallas_call (see ops/pallas/graph_kernel.py).
+            from .pallas.graph_kernel import graph_adjacency
+
+            if sampling:
+                seed = jax.random.randint(
+                    self.make_rng("graph"), (), 0, 2**31 - 1
+                ).astype(jnp.float32)
             else:
-                raise ValueError(f"unknown graph sampler: {self.sampler}")
+                seed = jnp.float32(0.0)
+            adj = graph_adjacency(g_q, g_k, theta, seed,
+                                  self.temperature, sampling)
+        else:
+            sim = jnp.einsum(
+                "bid,bjd->bij", g_q, g_k, preferred_element_type=jnp.float32
+            )
+            sim = jax.nn.softmax(sim, axis=-1)
+            adj = sim * theta[None]
+
+            if sampling:
+                key = self.make_rng("graph")
+                if self.sampler == "relaxed_bernoulli":
+                    adj = relaxed_bernoulli_sample(key, adj, self.temperature)
+                elif self.sampler == "gaussian":
+                    adj = gaussian_perturb_sample(key, adj, self.alpha)
+                else:
+                    raise ValueError(f"unknown graph sampler: {self.sampler}")
 
         adj = adj.astype(self.dtype)
 
