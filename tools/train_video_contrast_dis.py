@@ -62,6 +62,9 @@ def get_parser() -> argparse.ArgumentParser:
                         help="(ignored)")
     parser.add_argument("--max_steps", default=0, type=int,
                         help="debug: cap total steps (0 = unlimited)")
+    parser.add_argument("--profile_dir", default="", type=str,
+                        help="capture a jax.profiler trace of steps 5-10 "
+                        "of the first epoch into this directory")
     parser.add_argument("opts", nargs=argparse.REMAINDER,
                         help="config overrides: KEY VALUE ...")
     return parser
@@ -136,10 +139,18 @@ class Trainer:
         print_freq = int(self.cfg.CHECKPOINT.PRINT_FREQ)
 
         end = time.time()
+        profiling = bool(self.args.profile_dir) and epoch == self.start_epoch
         for i, batch in enumerate(self.train_loader.epoch(epoch)):
             self.data_time.update(time.time() - end)
+            if profiling and i == 5:
+                jax.profiler.start_trace(self.args.profile_dir)
             batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.step_fn(self.state, batch, lr)
+            if profiling and i == 10:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {self.args.profile_dir}")
+                profiling = False
 
             if i % print_freq == 0 or i == num_img_tr - 1:
                 m = {k: float(v) for k, v in metrics.items()}  # device sync

@@ -42,6 +42,10 @@ class FrameDataset:
     test_mode: bool = False
     num_clips: int = 10
     new_length: int = 1
+    # adversarial multi-sample mode (reference: use_adver/nsamples,
+    # dataset.py:113-135): returns (nsamples, T, H, W, C)
+    use_adver: bool = False
+    nsamples: int = 40
 
     def __post_init__(self):
         self.video_list = parse_split(self.list_file)
@@ -54,6 +58,9 @@ class FrameDataset:
     def _indices(self, record: VideoRecord,
                  rng: Optional[np.random.Generator]) -> np.ndarray:
         n, L = record.num_frames, self.video_length
+        if self.use_adver and not self.test_mode:
+            return samplers.adver_indices(n, L, self.nsamples,
+                                          self.new_length, rng)
         if self.test_mode:
             if self.num_clips > 0:
                 return samplers.nclips_test_indices(n, L, self.num_clips,
@@ -79,6 +86,9 @@ class FrameDataset:
                          self.pre_load, self.canvas_hw, self.modality)
         if self.test_mode and self.num_clips > 0:
             clip = clip.reshape((self.num_clips, self.video_length)
+                                + clip.shape[1:])
+        elif self.use_adver:
+            clip = clip.reshape((self.nsamples, self.video_length)
                                 + clip.shape[1:])
         return {"clips": clip, "label": np.int32(record.label),
                 "index": np.int32(index)}

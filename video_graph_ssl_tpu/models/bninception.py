@@ -126,4 +126,5 @@ def bninception(**kwargs):
     kwargs.pop("aug_points", None)
     kwargs.pop("graph_cfg", None)
     kwargs.pop("remat", None)
+    kwargs.pop("partial_bn", None)  # partial-BN TODO for inception 2D nets
     return BNInception(**kwargs)

@@ -81,7 +81,8 @@ def graph_cfg_from(cfg) -> Dict[str, Any]:
     )
 
 
-def encoder_cfg_from(cfg, aug_flag: bool) -> Tuple[Dict[str, Any], int]:
+def encoder_cfg_from(cfg, aug_flag: bool,
+                     partial_bn: bool = False) -> Tuple[Dict[str, Any], int]:
     """Build VisualEncoder kwargs from the config; returns (kwargs, feat_dim)."""
     name = cfg.MODEL.BACKBONE
     btype = cfg.MODEL.BACKBONE_TYPE
@@ -95,6 +96,7 @@ def encoder_cfg_from(cfg, aug_flag: bool) -> Tuple[Dict[str, Any], int]:
         aug_points=tuple(default_aug) if aug_flag else (),
         graph_cfg=graph_cfg_from(cfg) if aug_flag else None,
         remat=bool(cfg.TPU.REMAT),
+        partial_bn=bool(partial_bn),
         dtype=dtype,
     )
     return enc, feat_dim
@@ -123,7 +125,13 @@ def create_visual_model(cfg) -> Tuple[GraphWrapper, int]:
 
 def create_video_model(cfg) -> Tuple[VideoModel, int]:
     """Downstream fine-tune / linear-probe model
-    (reference: lib/modeling/build.py:5-14)."""
-    enc_cfg, feat_dim = encoder_cfg_from(cfg, aug_flag=bool(cfg.MODEL.AUG_FLAG))
+    (reference: lib/modeling/build.py:5-14).
+
+    Partial-BN is on by default for downstream training (the reference's
+    VideoModelWrapper defaults + train() override) unless
+    MODEL.NO_PARTIALBN."""
+    enc_cfg, feat_dim = encoder_cfg_from(
+        cfg, aug_flag=bool(cfg.MODEL.AUG_FLAG),
+        partial_bn=not bool(cfg.MODEL.NO_PARTIALBN))
     model = VideoModel(encoder_cfg=enc_cfg, num_classes=int(cfg.DATASET.NUM_CLASS))
     return model, feat_dim

@@ -86,6 +86,11 @@ class I3D(nn.Module):
     aug_points: Tuple[int, ...] = ()
     graph_cfg: Optional[Dict[str, Any]] = None
     remat: bool = False
+    # Partial-BN: after the first conv/BN, blocks' BNs run on running stats
+    # during training (train only gates BN in these blocks, so passing
+    # train=False to them is exactly the reference's partial-BN semantics,
+    # model_wrappers.py:130-146).
+    partial_bn: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -108,9 +113,10 @@ class I3D(nn.Module):
 
         x = x.astype(self.dtype)
         x = unit(64, (7, 7, 7), (2, 2, 2), name="conv3d_1a", **kw)(x, train)
+        bt = train and not self.partial_bn
         x = _same_max_pool(x, (1, 3, 3), (1, 2, 2))
-        x = unit(64, (1, 1, 1), name="conv3d_2b", **kw)(x, train)
-        x = unit(192, (3, 3, 3), name="conv3d_2c", **kw)(x, train)
+        x = unit(64, (1, 1, 1), name="conv3d_2b", **kw)(x, bt)
+        x = unit(192, (3, 3, 3), name="conv3d_2c", **kw)(x, bt)
         x = _same_max_pool(x, (1, 3, 3), (1, 2, 2))
 
         stage_plan = [
@@ -126,7 +132,7 @@ class I3D(nn.Module):
                 x = _same_max_pool(x, k, (2, 2, 2))
             else:
                 b0, b1, b2, b3 = _MIXED_SPECS[name]
-                x = mixed(b0, b1, b2, b3, name=name, **kw)(x, train)
+                x = mixed(b0, b1, b2, b3, name=name, **kw)(x, bt)
 
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
         if self.num_classes is None:

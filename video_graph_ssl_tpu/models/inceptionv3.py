@@ -168,4 +168,5 @@ def inception_v3(**kwargs):
     kwargs.pop("aug_points", None)
     kwargs.pop("graph_cfg", None)
     kwargs.pop("remat", None)
+    kwargs.pop("partial_bn", None)  # partial-BN TODO for inception 2D nets
     return InceptionV3(**kwargs)

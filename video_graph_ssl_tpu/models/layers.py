@@ -79,7 +79,8 @@ class ConvBN(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 bn_frozen: bool = False) -> jnp.ndarray:
         if isinstance(self.padding, str):
             pads = self.padding
         else:
@@ -98,8 +99,11 @@ class ConvBN(nn.Module):
             name="conv",
             **kw,
         )(x)
+        # bn_frozen: partial-BN — use running stats even in training
+        # (reference: VideoModelWrapper.train() override,
+        # model_wrappers.py:130-146); affine params still receive grads.
         x = nn.BatchNorm(
-            use_running_average=not train,
+            use_running_average=(not train) or bn_frozen,
             momentum=self.bn_momentum,
             epsilon=self.bn_eps,
             dtype=jnp.float32,
@@ -124,7 +128,8 @@ class BasicConv3d(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 bn_frozen: bool = False) -> jnp.ndarray:
         return ConvBN(
             features=self.features,
             kernel_size=_triple(self.kernel_size),
@@ -133,7 +138,7 @@ class BasicConv3d(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="block",
-        )(x, train=train)
+        )(x, train=train, bn_frozen=bn_frozen)
 
 
 class SepConv3d(nn.Module):
@@ -156,7 +161,8 @@ class SepConv3d(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 bn_frozen: bool = False) -> jnp.ndarray:
         k, s, p = self.kernel_size, self.strides, self.padding
         x = ConvBN(
             features=self.features,
@@ -167,7 +173,7 @@ class SepConv3d(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="spatial",
-        )(x, train=train)
+        )(x, train=train, bn_frozen=bn_frozen)
         x = ConvBN(
             features=self.features,
             kernel_size=(k, 1, 1),
@@ -179,7 +185,7 @@ class SepConv3d(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="temporal",
-        )(x, train=train)
+        )(x, train=train, bn_frozen=bn_frozen)
         return x
 
 
@@ -200,16 +206,18 @@ class InceptionBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 bn_frozen: bool = False) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         skw = dict(temporal_bias=self.temporal_bias, **kw)
-        x0 = BasicConv3d(self.b0, 1, name="branch0", **kw)(x, train=train)
-        x1 = BasicConv3d(self.b1[0], 1, name="branch1_reduce", **kw)(x, train=train)
-        x1 = SepConv3d(self.b1[1], 3, padding=1, name="branch1", **skw)(x1, train=train)
-        x2 = BasicConv3d(self.b2[0], 1, name="branch2_reduce", **kw)(x, train=train)
-        x2 = SepConv3d(self.b2[1], 3, padding=1, name="branch2", **skw)(x2, train=train)
+        bf = dict(train=train, bn_frozen=bn_frozen)
+        x0 = BasicConv3d(self.b0, 1, name="branch0", **kw)(x, **bf)
+        x1 = BasicConv3d(self.b1[0], 1, name="branch1_reduce", **kw)(x, **bf)
+        x1 = SepConv3d(self.b1[1], 3, padding=1, name="branch1", **skw)(x1, **bf)
+        x2 = BasicConv3d(self.b2[0], 1, name="branch2_reduce", **kw)(x, **bf)
+        x2 = SepConv3d(self.b2[1], 3, padding=1, name="branch2", **skw)(x2, **bf)
         x3 = max_pool_3d(x, 3, 1, 1)
-        x3 = BasicConv3d(self.b3, 1, name="branch3", **kw)(x3, train=train)
+        x3 = BasicConv3d(self.b3, 1, name="branch3", **kw)(x3, **bf)
         return jnp.concatenate([x0, x1, x2, x3], axis=-1)
 
     @staticmethod

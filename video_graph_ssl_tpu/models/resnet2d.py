@@ -76,6 +76,7 @@ class ResNet2D(nn.Module):
     block: str
     layers: Sequence[int]
     num_classes: Optional[int] = None
+    partial_bn: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -89,6 +90,7 @@ class ResNet2D(nn.Module):
                     name="conv1")(x)
         x = nn.relu(_BN(name="bn1")(x, train).astype(self.dtype))
         x = nn.max_pool(x, (3, 3), (2, 2), [(1, 1), (1, 1)])
+        block_train = train and not self.partial_bn
         in_ch = 64
         for stage, (planes, n_blocks) in enumerate(
             zip((64, 128, 256, 512), self.layers), start=1
@@ -97,7 +99,7 @@ class ResNet2D(nn.Module):
                 stride = 2 if (b == 0 and stage > 1) else 1
                 need_ds = stride != 1 or in_ch != planes * expansion
                 x = block_cls(planes, stride, need_ds, dtype=self.dtype,
-                              name=f"layer{stage}_{b}")(x, train)
+                              name=f"layer{stage}_{b}")(x, block_train)
                 in_ch = planes * expansion
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         if self.num_classes is None:

@@ -86,6 +86,11 @@ class ResNet2Plus1D(nn.Module):
     aug_points: Tuple[int, ...] = ()
     graph_cfg: Optional[Dict[str, Any]] = None
     remat: bool = False
+    # Partial-BN: after the first conv/BN, blocks' BNs run on running stats
+    # during training (train only gates BN in these blocks, so passing
+    # train=False to them is exactly the reference's partial-BN semantics,
+    # model_wrappers.py:130-146).
+    partial_bn: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -111,6 +116,7 @@ class ResNet2Plus1D(nn.Module):
         x = nn.relu(_BN(name="stem_bn_t")(x, train).astype(self.dtype))
         x = max_pool_3d(x, 3, 2, 1)
 
+        block_train = train and not self.partial_bn
         in_ch = 64
         for stage, (planes, n_blocks) in enumerate(
             zip((64, 128, 256, 512), self.layers), start=1
@@ -124,7 +130,7 @@ class ResNet2Plus1D(nn.Module):
                 stride = 2 if (b == 0 and stage > 1) else 1
                 need_ds = stride != 1 or in_ch != planes
                 x = block(planes, stride, need_ds, self.dtype,
-                          name=f"layer{stage}_{b}")(x, train)
+                          name=f"layer{stage}_{b}")(x, block_train)
                 in_ch = planes
 
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))

@@ -92,6 +92,11 @@ class ResNet3D(nn.Module):
     aug_points: Tuple[int, ...] = ()      # stage numbers in {1,2,3,4}
     graph_cfg: Optional[Dict[str, Any]] = None
     remat: bool = False
+    # Partial-BN: after the first conv/BN, blocks' BNs run on running stats
+    # during training (train only gates BN in these blocks, so passing
+    # train=False to them is exactly the reference's partial-BN semantics,
+    # model_wrappers.py:130-146).
+    partial_bn: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -111,6 +116,7 @@ class ResNet3D(nn.Module):
         x = nn.relu(x)
         x = max_pool_3d(x, 3, 2, 1)
 
+        block_train = train and not self.partial_bn
         in_ch = 64
         for stage, (planes, n_blocks) in enumerate(
             zip((64, 128, 256, 512), self.layers), start=1
@@ -126,7 +132,7 @@ class ResNet3D(nn.Module):
                 x = block_cls(
                     planes, stride, need_ds, dtype=self.dtype,
                     name=f"layer{stage}_{b}",
-                )(x, train)
+                )(x, block_train)
                 in_ch = planes * expansion
 
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))

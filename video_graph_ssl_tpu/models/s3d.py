@@ -74,6 +74,11 @@ class S3D(nn.Module):
     # S3DG variant (reference S3DG_Pytorch.py:310-355): same topology,
     # biased temporal convs with Normal(0, 0.01) init ('STConv3d').
     temporal_bias: bool = False
+    # Partial-BN (reference: VideoModelWrapper.train() override,
+    # model_wrappers.py:130-146): when training downstream, BNs after the
+    # first conv stage run on running statistics.  Stage-granular here
+    # (stem_0's two BNs stay live vs the reference's strictly-first-BN).
+    partial_bn: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -87,29 +92,30 @@ class S3D(nn.Module):
         basic = BasicConv3d
         mixed = InceptionBlock
         if self.remat:
-            sep = nn.remat(sep, static_argnums=(2,))
-            basic = nn.remat(basic, static_argnums=(2,))
-            mixed = nn.remat(mixed, static_argnums=(2,))
+            sep = nn.remat(sep, static_argnums=(2, 3))
+            basic = nn.remat(basic, static_argnums=(2, 3))
+            mixed = nn.remat(mixed, static_argnums=(2, 3))
 
         stages = [
-            ("stem_0", lambda h, t: sep(64, 7, 2, 3, name="stem_0", **skw)(h, t)),
-            ("pool_1", lambda h, t: max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))),
-            ("stem_2", lambda h, t: basic(64, 1, name="stem_2", **kw)(h, t)),
-            ("stem_3", lambda h, t: sep(192, 3, 1, 1, name="stem_3", **skw)(h, t)),
-            ("pool_4", lambda h, t: max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))),
+            ("stem_0", lambda h, t, bf: sep(64, 7, 2, 3, name="stem_0", **skw)(h, t, False)),
+            ("pool_1", lambda h, t, bf: max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))),
+            ("stem_2", lambda h, t, bf: basic(64, 1, name="stem_2", **kw)(h, t, bf)),
+            ("stem_3", lambda h, t, bf: sep(192, 3, 1, 1, name="stem_3", **skw)(h, t, bf)),
+            ("pool_4", lambda h, t, bf: max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))),
             ("mixed_3b", None),
             ("mixed_3c", None),
-            ("pool_7", lambda h, t: max_pool_3d(h, 3, 2, 1)),
+            ("pool_7", lambda h, t, bf: max_pool_3d(h, 3, 2, 1)),
             ("mixed_4b", None),
             ("mixed_4c", None),
             ("mixed_4d", None),
             ("mixed_4e", None),
             ("mixed_4f", None),
-            ("pool_13", lambda h, t: max_pool_3d(h, 2, 2, 0)),
+            ("pool_13", lambda h, t, bf: max_pool_3d(h, 2, 2, 0)),
             ("mixed_5b", None),
             ("mixed_5c", None),
         ]
 
+        bn_frozen = self.partial_bn and train
         x = x.astype(self.dtype)
         for idx, (name, fn) in enumerate(stages):
             if idx in self.aug_points:
@@ -120,10 +126,11 @@ class S3D(nn.Module):
                     **gcfg,
                 )(x, train=train)
             if fn is not None:
-                x = fn(x, train)
+                x = fn(x, train, bn_frozen)
             else:
                 b0, b1, b2, b3 = _MIXED_SPECS[name]
-                x = mixed(b0, b1, b2, b3, name=name, **skw)(x, train)
+                x = mixed(b0, b1, b2, b3, name=name, **skw)(x, train,
+                                                            bn_frozen)
 
         # Global spatio-temporal average pool -> (B, 1024).
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))

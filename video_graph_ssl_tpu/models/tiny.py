@@ -24,6 +24,7 @@ class Tiny3D(nn.Module):
     aug_points: Tuple[int, ...] = ()
     graph_cfg: Optional[Dict[str, Any]] = None
     remat: bool = False
+    partial_bn: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -33,12 +34,13 @@ class Tiny3D(nn.Module):
         gcfg = dict(self.graph_cfg or {})
         x = x.astype(self.dtype)
         x = BasicConv3d(16, 3, 2, 1, name="stage0", **kw)(x, train)
+        bt = train and not self.partial_bn
         if 1 in self.aug_points:
             x = TemporalGraphAug(name="graph_aug_1", dtype=self.dtype,
                                  param_dtype=self.param_dtype, **gcfg)(x, train)
-        x = BasicConv3d(32, 3, 2, 1, name="stage1", **kw)(x, train)
+        x = BasicConv3d(32, 3, 2, 1, name="stage1", **kw)(x, bt)
         x = max_pool_3d(x, (1, 2, 2), (1, 2, 2))
-        x = BasicConv3d(TINY3D_FEATURE_DIM, 1, 1, 0, name="stage2", **kw)(x, train)
+        x = BasicConv3d(TINY3D_FEATURE_DIM, 1, 1, 0, name="stage2", **kw)(x, bt)
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
         if self.num_classes is None:
             return feat

@@ -45,6 +45,7 @@ class VisualEncoder(nn.Module):
     aug_points: Tuple[int, ...] = ()
     graph_cfg: Optional[Dict[str, Any]] = None
     remat: bool = False
+    partial_bn: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -54,6 +55,7 @@ class VisualEncoder(nn.Module):
             aug_points=self.aug_points,
             graph_cfg=self.graph_cfg,
             remat=self.remat,
+            partial_bn=self.partial_bn,
             dtype=self.dtype,
             name="base_model",
         )

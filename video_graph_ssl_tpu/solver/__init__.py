@@ -4,7 +4,8 @@ Mirrors lib/solver/__init__.py exports (make_optimizer, make_lr_scheduler,
 create_optimizer).
 """
 
-from .build import label_params, make_lr_scheduler, make_optimizer, set_learning_rate
+from .build import (label_params, make_iter_lr_scheduler, make_lr_scheduler,
+                    make_optimizer, set_learning_rate)
 
 # The reference's `create_optimizer` (lib/solver/build.py:6-21) differs from
 # `make_optimizer` only in torch param-group plumbing; functionally identical
@@ -14,6 +15,7 @@ create_optimizer = make_optimizer
 __all__ = [
     "make_optimizer",
     "make_lr_scheduler",
+    "make_iter_lr_scheduler",
     "create_optimizer",
     "set_learning_rate",
     "label_params",

@@ -170,6 +170,34 @@ def make_lr_scheduler(cfg) -> Callable[[int], float]:
     return lr_at
 
 
+def make_iter_lr_scheduler(cfg, iters_per_epoch: int) -> Callable[[int], float]:
+    """Iteration-level schedule — counterpart of the reference's
+    ``lib/solver/lr_helper.py`` ``LR_Scheduler`` (:11-75): cos/poly/step
+    decay over total iterations with iteration-granular linear warmup.
+    (The reference tools step per epoch; this is the finer-grained option.)
+    """
+    base_lr = float(cfg.SOLVER.BASE_LR)
+    mode = cfg.SOLVER.LR_SCHEDULER
+    total_iters = int(cfg.SOLVER.MAX_EPOCHS) * int(iters_per_epoch)
+    warmup_iters = int(cfg.SOLVER.WARMUP_ITERS) * int(iters_per_epoch)
+    lr_step = int(cfg.SOLVER.LR_STEP)
+    gamma = float(cfg.SOLVER.GAMMA)
+
+    def lr_at(it: int) -> float:
+        if warmup_iters and it < warmup_iters:
+            return base_lr * (it + 1) / warmup_iters
+        if mode == "cos":
+            return 0.5 * base_lr * (
+                1.0 + math.cos(math.pi * it / total_iters))
+        if mode == "poly":
+            return base_lr * (1.0 - float(it) / total_iters) ** 0.9
+        if mode == "step":
+            return base_lr * gamma ** (it // (lr_step * iters_per_epoch))
+        raise NotImplementedError(f"Unsupported scheduler: {mode}")
+
+    return lr_at
+
+
 def set_learning_rate(opt_state, lr: float):
     """Write the scheduled lr into an inject_hyperparams state."""
     # inject_hyperparams keeps hyperparams in a top-level InjectHyperparamsState;

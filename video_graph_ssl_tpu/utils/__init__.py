@@ -12,6 +12,7 @@ from .checkpoint import (
     save_checkpoint_state,
     transfer_encoder_params,
 )
+from .inflate import inflate_first_conv
 from .meters import AverageMeter, accuracy, average_precision, mean_average_precision
 from .saver import Saver
 from .summary import TensorboardSummary, creat_saver
@@ -21,6 +22,7 @@ __all__ = [
     "TensorboardSummary",
     "creat_saver",
     "AverageMeter",
+    "inflate_first_conv",
     "accuracy",
     "average_precision",
     "mean_average_precision",
