@@ -11,6 +11,9 @@ Prints ONE JSON line:
     {"metric": "pretrain_clips_per_sec_per_chip", "value": N,
      "unit": "clips/s", "vs_baseline": R}
 
+Measured honestly with a device-value fetch per timing window
+(block_until_ready is unreliable over relayed remote backends).
+
 Baseline: the reference publishes no throughput numbers (BASELINE.md).
 ``A100_REF_CLIPS_PER_SEC`` is a documented estimate of the PyTorch
 reference on one A100: S3D @ 16x112x112 MoCo, fp16/AMP DDP video-SSL
@@ -55,7 +58,7 @@ def main():
         cfg.INPUT.VIDEO_LENGTH = 4
         cfg.TPU.COMPUTE_DTYPE = "float32"
 
-    batch_size = 32 if on_tpu else 8
+    batch_size = 128 if on_tpu else 8
     t = int(cfg.INPUT.VIDEO_LENGTH)
     canvas = (int(cfg.INPUT.SCALE_SIZE[0]), int(cfg.INPUT.SCALE_SIZE[1]))
 
@@ -79,16 +82,17 @@ def main():
     }
     batch = shard_batch(batch, mesh)
 
-    # warmup / compile
+    # warmup / compile (value fetch = hard sync; block_until_ready is not
+    # reliable on relayed remote backends)
     for _ in range(3):
         state, metrics = step(state, batch, 0.06)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     iters = 30 if on_tpu else 5
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, 0.06)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch_size * iters / dt

@@ -93,7 +93,8 @@ class Trainer:
         self.state = replicate_state(self.state, self.mesh)
 
         step_fn = make_fused_pretrain_step(config, self.model, self.tx,
-                                           n_data=self.n_data)
+                                           n_data=self.n_data,
+                                           mesh=self.mesh)
         self.step_fn = jax.jit(step_fn, donate_argnums=0)
 
         self.start_epoch = int(config.SOLVER.START_EPOCH)

@@ -70,6 +70,8 @@ def rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    # Elementwise selects only — jnp.choose lowers to a dynamic gather that
+    # is catastrophically slow on TPU (measured ~400x this version).
     h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
     i = jnp.floor(h * 6.0)
     f = h * 6.0 - i
@@ -77,9 +79,17 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    def sel(c0, c1, c2, c3, c4, c5):
+        return jnp.where(
+            i == 0, c0, jnp.where(
+                i == 1, c1, jnp.where(
+                    i == 2, c2, jnp.where(
+                        i == 3, c3, jnp.where(i == 4, c4, c5)))))
+
+    r = sel(v, q, p, p, t, v)
+    g = sel(t, v, v, q, p, p)
+    b = sel(p, p, t, v, v, q)
     return jnp.stack([r, g, b], axis=-1)
 
 

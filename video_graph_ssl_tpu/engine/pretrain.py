@@ -95,17 +95,29 @@ def make_simsiam_step(model, tx) -> Callable:
 # MoCo — query encoder + EMA key encoder + queue (reference: _train_moco,
 # train_video_contrast_dis.py:374-466)
 # --------------------------------------------------------------------------- #
-def make_moco_step(model, tx, T: float, alpha: float) -> Callable:
+def make_moco_step(model, tx, T: float, alpha: float,
+                   mesh=None, shuffle_bn: bool = False) -> Callable:
     def step(state: TrainState, batch, lr) -> Tuple[TrainState, Dict]:
         x1 = batch["clips"][:, 0]
         x2 = batch["clips"][:, 1]
 
         # Key path: EMA params, no grad; BN stays in train mode exactly like
-        # the reference's set_bn_train on the EMA model (:385-389).  Its BN
-        # reductions span the global batch (ShuffleBN replacement).
-        variables, kw = _apply_kwargs(state, state.ema_params,
-                                      state.ema_batch_stats, True)
-        feat_k, ema_muts = model.apply(variables, x2, **kw)
+        # the reference's set_bn_train on the EMA model (:385-389).  Default:
+        # BN reductions span the global batch (ShuffleBN replacement);
+        # TPU.SHUFFLE_BN switches to per-chip BN with a global shuffle.
+        if shuffle_bn:
+            from ..parallel.shuffle_bn import shuffle_bn_apply
+
+            shuffle_key = jax.random.fold_in(
+                jax.random.fold_in(state.rng, state.step), 29)
+            feat_k, ema_stats = shuffle_bn_apply(
+                model, state.ema_params, state.ema_batch_stats, x2,
+                shuffle_key, mesh)
+            ema_muts = {"batch_stats": ema_stats}
+        else:
+            variables, kw = _apply_kwargs(state, state.ema_params,
+                                          state.ema_batch_stats, True)
+            feat_k, ema_muts = model.apply(variables, x2, **kw)
         feat_k = jax.lax.stop_gradient(feat_k)
 
         def loss_fn(params):
@@ -175,7 +187,8 @@ def make_bank_step(model, tx, K: int, T: float, m: float, n_data: int,
     return step
 
 
-def make_fused_pretrain_step(cfg, model, tx, n_data: int = 0) -> Callable:
+def make_fused_pretrain_step(cfg, model, tx, n_data: int = 0,
+                             mesh=None) -> Callable:
     """Pretrain step with the SSL augmentation chain fused into the same
     jitted program: raw uint8 canvas clips in, updated state out.  One XLA
     program per step — preprocessing, both encoder passes, loss, optimizer,
@@ -183,7 +196,7 @@ def make_fused_pretrain_step(cfg, model, tx, n_data: int = 0) -> Callable:
     separate Python/cv2 pipeline per batch, consistency_transforms.py)."""
     from ..data.transforms_device import make_batch_augment_fn
 
-    inner = make_pretrain_step(cfg, model, tx, n_data)
+    inner = make_pretrain_step(cfg, model, tx, n_data, mesh=mesh)
     augment = make_batch_augment_fn(cfg, "ssl")
 
     def step(state: TrainState, raw_batch, lr):
@@ -196,15 +209,21 @@ def make_fused_pretrain_step(cfg, model, tx, n_data: int = 0) -> Callable:
     return step
 
 
-def make_pretrain_step(cfg, model, tx, n_data: int = 0) -> Callable:
+def make_pretrain_step(cfg, model, tx, n_data: int = 0,
+                       mesh=None) -> Callable:
     """Dispatch on CONTRAST.MEM_TYPE (reference: train dispatch,
     train_video_contrast_dis.py:259-268)."""
     mem_type = cfg.CONTRAST.MEM_TYPE
     if mem_type == "simsiam":
         return make_simsiam_step(model, tx)
     if mem_type == "moco":
+        shuffle_bn = bool(cfg.TPU.SHUFFLE_BN)
+        if shuffle_bn and mesh is None:
+            raise ValueError("TPU.SHUFFLE_BN requires passing the mesh to "
+                             "make_pretrain_step")
         return make_moco_step(model, tx, float(cfg.CONTRAST.NCE_T),
-                              float(cfg.CONTRAST.ALPHA))
+                              float(cfg.CONTRAST.ALPHA),
+                              mesh=mesh, shuffle_bn=shuffle_bn)
     if mem_type == "bank":
         return make_bank_step(
             model, tx,
