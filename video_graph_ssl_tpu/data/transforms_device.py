@@ -97,7 +97,7 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
 # photometric ops (clip in [0, 255] float32)
 # --------------------------------------------------------------------------- #
 def adjust_brightness(clip, factor):
-    return jnp.clip(clip * factor, 0.0, 255.0)
+    return jnp.clip(clip * factor, 0.0, 255.0).astype(clip.dtype)
 
 
 def adjust_contrast(clip, factor):
@@ -105,25 +105,37 @@ def adjust_contrast(clip, factor):
     # (per frame), out = f*img + (1-f)*mean.
     gray = rgb_to_grayscale(clip, keep_channels=False)
     mean = jnp.mean(gray, axis=(-3, -2, -1), keepdims=True)
-    return jnp.clip(clip * factor + mean * (1.0 - factor), 0.0, 255.0)
+    return jnp.clip(clip * factor + mean * (1.0 - factor),
+                    0.0, 255.0).astype(clip.dtype)
 
 
 def adjust_saturation(clip, factor):
     gray = rgb_to_grayscale(clip, keep_channels=True)
-    return jnp.clip(clip * factor + gray * (1.0 - factor), 0.0, 255.0)
+    return jnp.clip(clip * factor + gray * (1.0 - factor),
+                    0.0, 255.0).astype(clip.dtype)
 
 
 def adjust_hue(clip, shift):
-    hsv = rgb_to_hsv(clip / 255.0)
+    # HSV roundtrip in float32 (hue wraps need the precision), result cast
+    # back to the pipeline compute dtype.
+    hsv = rgb_to_hsv(clip.astype(jnp.float32) / 255.0)
     hsv = hsv.at[..., 0].set((hsv[..., 0] + shift) % 1.0)
-    return jnp.clip(hsv_to_rgb(hsv) * 255.0, 0.0, 255.0)
+    return jnp.clip(hsv_to_rgb(hsv) * 255.0, 0.0, 255.0).astype(clip.dtype)
 
 
 def color_jitter(key: jax.Array, clip: jnp.ndarray,
                  brightness=0.4, contrast=0.4, saturation=0.4,
-                 hue=0.1) -> jnp.ndarray:
+                 hue=0.1, order: jnp.ndarray = None) -> jnp.ndarray:
     """Clip-consistent ColorJitter with shuffled op order
-    (reference: VideoRandomColorJitter, consistency_transforms.py:275-339)."""
+    (reference: VideoRandomColorJitter, consistency_transforms.py:275-339).
+
+    ``order``: optional (4,) permutation.  When this function is vmapped
+    over clips, a per-clip order forces lax.switch to evaluate EVERY branch
+    at every position (16 full-image passes, measured 3x slower); passing a
+    shared unbatched ``order`` keeps the switch scalar (4 passes).  The SSL
+    pipeline samples one order per step, shared across the batch — factors
+    stay per-clip (documented deviation; the reference shuffles per clip).
+    """
     k_perm, kb, kc, ks, kh = jax.random.split(key, 5)
     fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness),
                             maxval=1 + brightness)
@@ -139,7 +151,8 @@ def color_jitter(key: jax.Array, clip: jnp.ndarray,
         lambda c: adjust_saturation(c, fs),
         lambda c: adjust_hue(c, fh),
     ]
-    order = jax.random.permutation(k_perm, 4)
+    if order is None:
+        order = jax.random.permutation(k_perm, 4)
 
     def body(i, c):
         return jax.lax.switch(order[i], ops, c)
@@ -149,7 +162,8 @@ def color_jitter(key: jax.Array, clip: jnp.ndarray,
 
 def random_grayscale(key, clip, p=0.2):
     do = jax.random.uniform(key) < p
-    return jnp.where(do, rgb_to_grayscale(clip, keep_channels=True), clip)
+    return jnp.where(do, rgb_to_grayscale(clip, keep_channels=True),
+                     clip).astype(clip.dtype)
 
 
 def gaussian_blur(key, clip, sigma_limit=(0.1, 2.0), kernel_size=13):
@@ -160,7 +174,7 @@ def gaussian_blur(key, clip, sigma_limit=(0.1, 2.0), kernel_size=13):
     r = kernel_size // 2
     x = jnp.arange(-r, r + 1, dtype=jnp.float32)
     g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
-    g = g / jnp.sum(g)
+    g = (g / jnp.sum(g)).astype(clip.dtype)
 
     t, h, w, c = clip.shape
     img = clip.reshape(t, h, w, c)
@@ -187,7 +201,7 @@ def normalize(clip, mean: Sequence[float], std: Sequence[float]):
     works in pixel space (consistency_transforms.py:45-68); identical result."""
     mean = jnp.asarray(mean, jnp.float32) * 255.0
     std = jnp.asarray(std, jnp.float32) * 255.0
-    return (clip - mean) / std
+    return ((clip - mean) / std).astype(clip.dtype)
 
 
 # --------------------------------------------------------------------------- #
@@ -332,15 +346,19 @@ def ssl_augment(
     key: jax.Array, clip: jnp.ndarray, out_hw: Tuple[int, int],
     mean, std,
     rrc_scale=(0.2, 1.0), jitter_p=0.8, gray_p=0.2, blur_p=0.5, flip_p=0.5,
+    jitter_order: jnp.ndarray = None, compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """The SSL augmentation chain
     (reference: build_video_contrast_transform_cv2, transform/build.py:45-62):
     RRC(0.2-1.0) → ColorJitter(.4,.4,.4,.1)@p.8 → Gray@p.2 →
-    GaussianBlur(σ∈[.1,2])@p.5 → HFlip@p.5 → Normalize."""
+    GaussianBlur(σ∈[.1,2])@p.5 → HFlip@p.5 → Normalize.
+
+    ``compute_dtype=bfloat16`` halves the bandwidth of the elementwise
+    chain (pixel-value precision ~0.5% — irrelevant for augmentation)."""
     keys = jax.random.split(key, 7)
-    clip = clip.astype(jnp.float32)
+    clip = clip.astype(compute_dtype)
     clip = random_resized_crop(keys[0], clip, out_hw, scale=rrc_scale)
-    jittered = color_jitter(keys[1], clip)
+    jittered = color_jitter(keys[1], clip, order=jitter_order)
     clip = jnp.where(jax.random.uniform(keys[2]) < jitter_p, jittered, clip)
     clip = random_grayscale(keys[3], clip, p=gray_p)
     blurred = gaussian_blur(keys[4], clip)
@@ -425,11 +443,15 @@ def make_batch_augment_fn(cfg, kind: str):
     flip_p = 0.5 if cfg.INPUT.FLIP else 0.0
 
     if kind == "ssl":
-        per_clip = partial(ssl_augment, out_hw=out_hw, mean=mean, std=std,
-                           flip_p=flip_p)
+        compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
 
         def fn(key, clips):
             b, v = clips.shape[0], clips.shape[1]
+            k_order, key = jax.random.split(key)
+            order = jax.random.permutation(k_order, 4)  # step-shared order
+            per_clip = partial(ssl_augment, out_hw=out_hw, mean=mean,
+                               std=std, flip_p=flip_p, jitter_order=order,
+                               compute_dtype=compute_dtype)
             keys = jax.random.split(key, b * v).reshape(b, v)
             return jax.vmap(jax.vmap(per_clip))(keys, clips)
 
