@@ -12,6 +12,9 @@ from .heads import PredictionMLP, ProjectHead, ProjectionMLP, l2_normalize
 from .s3d import S3D, S3D_FEATURE_DIM
 from .resnet3d import ResNet3D
 from .resnet2d import ResNet2D
+from .i3dnon import I3DResNetNonLocal, NonLocalBlock3D
+from .s3dg_text import (S3DGText, SelfGating, SentenceEmbedding,
+                        build_word_to_token, space_to_depth_3d, tokenize)
 from .wrappers import (
     ContrastWrapper,
     GraphWrapper,
@@ -27,6 +30,9 @@ __all__ = [
     "encoder_cfg_from", "graph_cfg_from",
     "ProjectHead", "ProjectionMLP", "PredictionMLP", "l2_normalize",
     "S3D", "S3D_FEATURE_DIM", "ResNet3D", "ResNet2D",
+    "I3DResNetNonLocal", "NonLocalBlock3D",
+    "S3DGText", "SelfGating", "SentenceEmbedding",
+    "build_word_to_token", "tokenize", "space_to_depth_3d",
     "VisualEncoder", "ContrastWrapper", "SimSiam", "GraphWrapper",
     "VideoModel", "simsiam_d",
 ]

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from . import resnet2d, resnet2p1d, resnet3d
 from .bninception import BNINCEPTION_FEATURE_DIM, bninception
 from .i3d import I3D, I3D_FEATURE_DIM
+from .i3dnon import i3d_res50_nonlocal
 from .inceptionv3 import INCEPTIONV3_FEATURE_DIM, inception_v3
 from .s3d import S3D, S3D_FEATURE_DIM
 from .tiny import TINY3D_FEATURE_DIM, Tiny3D
@@ -31,6 +32,7 @@ BACKBONES_3D = {
     # byte-near duplicates) map to one TF-SAME-padded network.
     "I3D": (lambda **kw: I3D(**kw), I3D_FEATURE_DIM, (5, 9, 14)),
     "InceptionI3d": (lambda **kw: I3D(**kw), I3D_FEATURE_DIM, (5, 9, 14)),
+    "i3d_res50_nonlocal": (i3d_res50_nonlocal, 2048, (2, 3, 4)),
     "resnet2p1d_10": (resnet2p1d.resnet2p1d_10, 512, (2, 3, 4)),
     "resnet2p1d_18": (resnet2p1d.resnet2p1d_18, 512, (2, 3, 4)),
     "resnet2p1d_34": (resnet2p1d.resnet2p1d_34, 512, (2, 3, 4)),
