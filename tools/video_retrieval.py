@@ -47,12 +47,16 @@ def get_parser():
                         choices=["cosine", "euclidean"])
     parser.add_argument("--l2_norm", action="store_true", default=True)
     parser.add_argument("--test_clips", default=10, type=int)
+    parser.add_argument("--test_crops", default=1, type=int,
+                        choices=[1, 3, 5, 6, 10],
+                        help="spatial crops averaged per clip (reference "
+                        "averages multi-crop features, :101-115)")
     parser.add_argument("--max_videos", default=0, type=int)
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     return parser
 
 
-def build_feature_fn(config, model):
+def build_feature_fn(config, model, n_crops: int = 1):
     """jitted: (state, raw (B, n_clips, T, H, W, C) uint8) -> (B, D)
     features averaged over clips (reference: extract_feature,
     video_retrieval.py:101-152 averages over crops/clips)."""
@@ -63,7 +67,7 @@ def build_feature_fn(config, model):
 
     from functools import partial
     crop_fn = partial(multi_crop_eval, scale_hw=scale_hw, crop_hw=crop_hw,
-                      n_crops=1, mean=mean, std=std)
+                      n_crops=n_crops, mean=mean, std=std)
 
     @jax.jit
     def feat_fn(state, raw):
@@ -84,7 +88,7 @@ def extract_split(config, args, model, state, split: str):
     if split == "train":
         split_cfg.DATASET.VALIDATION_SPLIT = config.DATASET.TRAIN_SPLIT
     loader = make_test_loader(split_cfg, num_clips=args.test_clips)
-    feat_fn = build_feature_fn(config, model)
+    feat_fn = build_feature_fn(config, model, n_crops=args.test_crops)
 
     feats, classes = [], []
     seen = 0
