@@ -67,3 +67,18 @@ def test_moco_step_on_8_device_mesh():
     out = subprocess.run([sys.executable, "-c", script], env=env,
                          capture_output=True, text=True, timeout=1200)
     assert "SHARDING_OK" in out.stdout, out.stdout + "\n" + out.stderr
+
+
+def test_pad_batch_to_multiple():
+    import numpy as np
+    from video_graph_ssl_tpu.parallel import pad_batch_to_multiple
+
+    batch = {"clips": np.arange(10 * 2).reshape(10, 2),
+             "label": np.arange(10)}
+    padded, n = pad_batch_to_multiple(batch, 8)
+    assert n == 10
+    assert padded["clips"].shape == (16, 2)
+    np.testing.assert_array_equal(
+        padded["clips"][10:], np.repeat(batch["clips"][-1:], 6, axis=0))
+    same, n2 = pad_batch_to_multiple(batch, 5)
+    assert n2 == 10 and same["clips"].shape == (10, 2)

@@ -36,6 +36,7 @@ from video_graph_ssl_tpu.models import create_video_model
 from video_graph_ssl_tpu.parallel import (
     maybe_initialize_distributed,
     mesh_from_cfg,
+    pad_batch_to_multiple,
     replicate_state,
     shard_batch,
 )
@@ -149,10 +150,13 @@ class Trainer:
     def validation(self, epoch: int):
         """(reference: train_ds.py:164-221)"""
         all_logits, all_labels = [], []
+        n_dev = self.mesh.shape["data"]
         for i, batch in enumerate(self.val_loader.epoch(epoch)):
-            clips = shard_batch({"clips": batch["clips"]}, self.mesh)["clips"]
+            padded, real_n = pad_batch_to_multiple(
+                {"clips": batch["clips"]}, n_dev)
+            clips = shard_batch(padded, self.mesh)["clips"]
             logits = self.eval_fn(self.state, clips)
-            all_logits.append(np.asarray(logits))
+            all_logits.append(np.asarray(logits)[:real_n])
             all_labels.append(batch["label"])
             if self.args.max_steps and i + 1 >= self.args.max_steps:
                 break

@@ -1,6 +1,7 @@
 """Parallelism: mesh construction, shardings, and collective helpers."""
 
 from .mesh import (
+    pad_batch_to_multiple,
     batch_sharding,
     local_batch_size,
     make_mesh,
@@ -19,5 +20,6 @@ __all__ = [
     "shard_batch",
     "replicate_state",
     "local_batch_size",
+    "pad_batch_to_multiple",
     "maybe_initialize_distributed",
 ]

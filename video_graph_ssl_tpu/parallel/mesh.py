@@ -78,6 +78,26 @@ def replicate_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), state)
 
 
+def pad_batch_to_multiple(batch, multiple: int):
+    """Pad every array's leading dim up to a multiple (repeating the last
+    element) so eval tails shard over the mesh; returns (batch, real_n).
+
+    Training drops the tail (drop_last); eval must score every video, so
+    tools pad, run, and slice the outputs back to ``real_n``.
+    """
+    leaves = jax.tree_util.tree_leaves(batch)
+    n = leaves[0].shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch, n
+
+    def _pad(x):
+        reps = np.repeat(x[-1:], pad, axis=0)
+        return np.concatenate([np.asarray(x), reps], axis=0)
+
+    return jax.tree_util.tree_map(_pad, batch), n
+
+
 def local_batch_size(global_batch: int, mesh: Mesh, data_axis: str = "data") -> int:
     n = mesh.shape[data_axis]
     if global_batch % n:
