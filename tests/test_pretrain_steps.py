@@ -113,3 +113,20 @@ def test_downstream_step_and_probe_freeze(tiny_cfg):
     fc1 = np.asarray(state.params["new_fc"]["kernel"])
     np.testing.assert_allclose(enc0, enc1)           # frozen
     assert not np.allclose(fc0, fc1)                 # head trains
+
+
+def test_moco_step_2d_backbone(tiny_cfg):
+    """BACKBONE_TYPE='2D': frames fold into the batch, aggregate over T
+    (reference: visual_wrappers.py:87-95)."""
+    c = tiny_cfg.clone()
+    c.MODEL.BACKBONE = "resnet18"
+    c.MODEL.BACKBONE_TYPE = "2D"
+    c.MODEL.AUG_FLAG = False
+    c.CONTRAST.MEM_TYPE = "moco"
+    model, _ = create_visual_model(c)
+    batch = _batch()
+    state, tx = create_pretrain_state(c, model, batch["clips"][:2, 0],
+                                      n_data=N_DATA)
+    step = jax.jit(make_pretrain_step(c, model, tx), donate_argnums=0)
+    state, metrics = step(state, batch, 0.1)
+    assert np.isfinite(float(metrics["loss"]))
