@@ -112,7 +112,8 @@ def make_moco_step(model, tx, T: float, alpha: float,
                 jax.random.fold_in(state.rng, state.step), 29)
             feat_k, ema_stats = shuffle_bn_apply(
                 model, state.ema_params, state.ema_batch_stats, x2,
-                shuffle_key, mesh)
+                shuffle_key, mesh,
+                rngs=state.step_rngs("dropout", "graph"))
             ema_muts = {"batch_stats": ema_stats}
         else:
             variables, kw = _apply_kwargs(state, state.ema_params,

@@ -37,6 +37,7 @@ def shuffle_bn_apply(
     key: jax.Array,
     mesh: Mesh,
     data_axis: str = "data",
+    rngs: Any = None,
 ) -> Tuple[jnp.ndarray, Any]:
     """EMA-key forward with ShuffleBN semantics.
 
@@ -52,6 +53,7 @@ def shuffle_bn_apply(
         feat, muts = model.apply(
             {"params": params, "batch_stats": stats},
             x_local, train=True, mutable=["batch_stats"],
+            rngs=rngs,
         )
         new_stats = jax.lax.pmean(muts["batch_stats"], data_axis)
         return feat, new_stats
