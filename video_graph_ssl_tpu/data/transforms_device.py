@@ -33,7 +33,6 @@ import math
 from functools import partial
 from typing import Sequence, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

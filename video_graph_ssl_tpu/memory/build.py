@@ -13,9 +13,9 @@ from typing import Callable, Optional
 
 import jax
 
-from .bank import BankState, init_bank
-from .criterion import cross_entropy_loss, nce_criterion, nce_softmax_loss
-from .moco import MocoState, init_moco
+from .bank import init_bank
+from .criterion import nce_criterion, nce_softmax_loss
+from .moco import init_moco
 
 
 def create_contrast(cfg, n_data: int, feat_dim: Optional[int] = None,

@@ -19,7 +19,7 @@ from .i3dnon import i3d_res50_nonlocal
 from .inceptionv3 import INCEPTIONV3_FEATURE_DIM, inception_v3
 from .s3d import S3D, S3D_FEATURE_DIM
 from .tiny import TINY3D_FEATURE_DIM, Tiny3D
-from .wrappers import GraphWrapper, VideoModel, VisualEncoder
+from .wrappers import GraphWrapper, VideoModel
 
 # name -> (ctor, feature_dim, default graph-aug insertion points)
 # Aug points follow the reference defaults (visual_wrappers.py:113-124).

@@ -28,7 +28,6 @@ temporal_graph.py:187-192).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

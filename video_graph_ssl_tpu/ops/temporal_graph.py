@@ -36,8 +36,7 @@ in→inter→…→in channel plan.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import numpy as np
 import jax

@@ -20,7 +20,7 @@ before mesh construction (``maybe_initialize_distributed``).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

@@ -10,8 +10,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
-
 try:
     from tensorboardX import SummaryWriter
     _HAS_TB = True
