@@ -149,3 +149,42 @@ def test_multi_crop_flip_pairs():
     # crops 5..9 are horizontal flips of crops 0..4
     np.testing.assert_allclose(np.asarray(out[5]),
                                np.asarray(out[0])[:, :, ::-1, :], rtol=1e-5)
+
+
+def test_gaussian_noise():
+    from video_graph_ssl_tpu.data.transforms_device import gaussian_noise
+
+    clip = jnp.full((2, 8, 8, 3), 128.0)
+    noisy = jax.jit(lambda k, c: gaussian_noise(k, c, p=1.0))(
+        jax.random.key(0), clip)
+    assert not np.allclose(np.asarray(noisy), 128.0)
+    assert float(noisy.min()) >= 0.0 and float(noisy.max()) <= 255.0
+    same = jax.jit(lambda k, c: gaussian_noise(k, c, p=0.0))(
+        jax.random.key(0), clip)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(clip))
+
+
+def test_random_rotate90():
+    from video_graph_ssl_tpu.data.transforms_device import random_rotate90
+
+    clip = _clip(2, 16, 16)
+    rot = jax.jit(lambda k, c: random_rotate90(k, c, p=1.0))(
+        jax.random.key(0), clip)
+    np.testing.assert_array_equal(np.asarray(rot),
+                                  np.rot90(np.asarray(clip), 1, (1, 2)))
+
+
+def test_random_crop():
+    from video_graph_ssl_tpu.data.transforms_device import random_crop
+
+    clip = _clip(2, 20, 24)
+    out = jax.jit(lambda k, c: random_crop(k, c, (8, 10)))(
+        jax.random.key(0), clip)
+    assert out.shape == (2, 8, 10, 3)
+    # crop content must be a contiguous window of the source
+    src = np.asarray(clip)
+    got = np.asarray(out)
+    found = any(
+        np.array_equal(src[:, y:y + 8, x:x + 10, :], got)
+        for y in range(13) for x in range(15))
+    assert found

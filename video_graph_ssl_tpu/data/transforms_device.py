@@ -190,6 +190,37 @@ def gaussian_blur(key, clip, sigma_limit=(0.1, 2.0), kernel_size=13):
     return img
 
 
+def gaussian_noise(key, clip, var_limit=(10.0, 50.0), p=0.5):
+    """Additive Gaussian noise with per-clip sampled variance
+    (reference: VideoGaussianNoise, consistency_transforms.py:194-224)."""
+    k_do, k_var, k_noise = jax.random.split(key, 3)
+    var = jax.random.uniform(k_var, (), minval=var_limit[0],
+                             maxval=var_limit[1])
+    noise = jax.random.normal(k_noise, clip.shape, jnp.float32) * jnp.sqrt(var)
+    noisy = jnp.clip(clip + noise.astype(clip.dtype), 0.0, 255.0)
+    do = jax.random.uniform(k_do) < p
+    return jnp.where(do, noisy, clip).astype(clip.dtype)
+
+
+def random_rotate90(key, clip, p=0.5):
+    """Rotate the whole clip by 90 degrees with probability p
+    (reference: VideoRandomRotate(90)); requires H == W."""
+    do = jax.random.uniform(key) < p
+    rotated = jnp.rot90(clip, k=1, axes=(1, 2))
+    return jnp.where(do, rotated, clip)
+
+
+def random_crop(key, clip, crop_hw):
+    """Uniform random crop at full resolution
+    (reference: VideoRandomCrop)."""
+    t, h, w, c = clip.shape
+    ch, cw = crop_hw
+    ky, kx = jax.random.split(key)
+    y = jax.random.randint(ky, (), 0, h - ch + 1)
+    x = jax.random.randint(kx, (), 0, w - cw + 1)
+    return jax.lax.dynamic_slice(clip, (0, y, x, 0), (t, ch, cw, c))
+
+
 def random_horizontal_flip(key, clip, p=0.5):
     do = jax.random.uniform(key) < p
     return jnp.where(do, clip[:, :, ::-1, :], clip)
