@@ -148,3 +148,60 @@ def test_momentum_accumulates():
     u2, _ = tx.update(grads, opt_state, params)
     np.testing.assert_allclose(np.asarray(u1["w"]), -1.0, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(u2["w"]), -1.9, rtol=1e-6)
+
+
+def test_trick_policies():
+    """USE_TRICK: TSN per-group lr/decay multipliers
+    (reference: get_optim_policies, visual_wrappers.py:146-211)."""
+    from video_graph_ssl_tpu.solver.build import label_params_trick
+
+    params = {
+        "stem": {"conv": {"kernel": jnp.ones((1, 3, 3, 3, 8)),
+                          "bias": jnp.ones((8,))}},
+        "mid": {"conv": {"kernel": jnp.ones((1, 1, 1, 8, 8))}},
+        "bn": {"scale": jnp.ones((8,)), "bias": jnp.ones((8,))},
+        "new_fc": {"kernel": jnp.ones((8, 4)), "bias": jnp.ones((4,))},
+    }
+    labels = label_params_trick(params)
+    assert labels["stem"]["conv"]["kernel"] == "first_conv_weight"
+    assert labels["stem"]["conv"]["bias"] == "first_conv_bias"
+    assert labels["mid"]["conv"]["kernel"] == "normal_weight"
+    assert labels["bn"]["scale"] == "bn"
+    assert labels["new_fc"]["kernel"] == "fc_weight"
+    assert labels["new_fc"]["bias"] == "fc_bias"
+
+    c = _solver_cfg(**{"SOLVER.WARMUP_ITERS": 0, "SOLVER.MOMENTUM": 0.0,
+                       "SOLVER.WEIGHT_DECAY": 0.0,
+                       "SOLVER.USE_TRICK": True})
+    tx = make_optimizer(c, params)
+    opt_state = set_learning_rate(tx.init(params), 0.1)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # fc weight: lr x5; fc bias: x10; normal bias: x2; normal weight: x1
+    np.testing.assert_allclose(np.asarray(updates["new_fc"]["kernel"]),
+                               -0.5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["new_fc"]["bias"]),
+                               -1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["mid"]["conv"]["kernel"]),
+                               -0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["stem"]["conv"]["bias"]),
+                               -0.2, rtol=1e-6)
+
+
+def test_trick_flow_boosts_first_conv():
+    from video_graph_ssl_tpu.solver.build import label_params_trick
+
+    params = {"stem": {"conv": {"kernel": jnp.ones((1, 3, 3, 2, 8))}}}
+    labels = label_params_trick(params, "Flow")
+    assert labels["stem"]["conv"]["kernel"] == "first_conv_weight"
+    c = _solver_cfg(**{"SOLVER.WARMUP_ITERS": 0, "SOLVER.MOMENTUM": 0.0,
+                       "SOLVER.WEIGHT_DECAY": 0.0,
+                       "SOLVER.USE_TRICK": True})
+    c.INPUT.MODALITY = "Flow"
+    tx = make_optimizer(c, params)
+    opt_state = set_learning_rate(tx.init(params), 0.1)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # Flow first-conv weight: lr x5
+    np.testing.assert_allclose(np.asarray(updates["stem"]["conv"]["kernel"]),
+                               -0.5, rtol=1e-6)

@@ -58,6 +58,62 @@ def _mask_for(labels, wanted) -> Any:
     return jax.tree_util.tree_map(lambda l: l in wanted, labels)
 
 
+def label_params_trick(params, modality: str = "RGB") -> Any:
+    """TSN 'trick' policy labels (reference: get_optim_policies,
+    visual_wrappers.py:146-211): the network's first conv kernel/bias get
+    their own groups, BN affine its own, fc (Dense) weights/biases their
+    own, everything else 'normal'."""
+    # identify the first conv kernel: rank>=4 kernel with 3 input channels
+    # (pytree order is alphabetical, so find it structurally)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    first_conv_prefix = None
+    for path, leaf in flat:
+        names = [str(getattr(p, "key", "")) for p in path]
+        if (names and names[-1] == "kernel" and hasattr(leaf, "ndim")
+                and leaf.ndim >= 4 and leaf.shape[-2] in (2, 3)):
+            first_conv_prefix = tuple(names[:-1])
+            break
+
+    def classify(path, leaf):
+        names = [str(getattr(p, "key", "")).lower() for p in path]
+        if first_conv_prefix is not None and \
+                tuple(str(getattr(p, "key", "")) for p in path[:-1]) == \
+                first_conv_prefix:
+            return ("first_conv_bias" if names[-1] == "bias"
+                    else "first_conv_weight")
+        if any(c == "bn" or c.startswith("bn_") or "batchnorm" in c
+               or (c.startswith("bn") and c[2:].isdigit()) for c in names):
+            return "bn"
+        if names[-1] == "scale":
+            return "bn"
+        is_dense = hasattr(leaf, "ndim") and (
+            leaf.ndim == 2 or (leaf.ndim == 1 and names[-1] == "bias"))
+        if any(c in ("fc", "new_fc") for c in names):
+            return "fc_bias" if names[-1] == "bias" else "fc_weight"
+        if names[-1] == "bias":
+            return "normal_bias"
+        return "normal_weight"
+
+    return jax.tree_util.tree_map_with_path(classify, params)
+
+
+# reference policy table (visual_wrappers.py:196-211); Flow boosts the
+# first conv's lr
+_TRICK_POLICIES = {
+    "first_conv_weight": {"lr_mult_rgb": 1.0, "lr_mult_flow": 5.0,
+                          "decay_mult": 1.0},
+    "first_conv_bias": {"lr_mult_rgb": 2.0, "lr_mult_flow": 10.0,
+                        "decay_mult": 0.0},
+    "normal_weight": {"lr_mult_rgb": 1.0, "lr_mult_flow": 1.0,
+                      "decay_mult": 1.0},
+    "normal_bias": {"lr_mult_rgb": 2.0, "lr_mult_flow": 2.0,
+                    "decay_mult": 0.0},
+    "bn": {"lr_mult_rgb": 1.0, "lr_mult_flow": 1.0, "decay_mult": 0.0},
+    "fc_weight": {"lr_mult_rgb": 5.0, "lr_mult_flow": 5.0, "decay_mult": 1.0},
+    "fc_bias": {"lr_mult_rgb": 10.0, "lr_mult_flow": 10.0, "decay_mult": 0.0},
+}
+
+
 def make_optimizer(
     cfg,
     params,
@@ -70,26 +126,42 @@ def make_optimizer(
     is injected per step via ``optax.inject_hyperparams`` under the name
     ``learning_rate``.
     """
-    labels = label_params(params)
     wd = float(cfg.SOLVER.WEIGHT_DECAY)
     wd_bias = float(cfg.SOLVER.WEIGHT_DECAY_BIAS)
     bias_factor = float(cfg.SOLVER.BIAS_LR_FACTOR)
     name = cfg.SOLVER.OPTIMIZER_NAME
 
     chain = []
-    # Per-group weight decay: weights get WEIGHT_DECAY; biases get
-    # WEIGHT_DECAY_BIAS; BN params get none (decay_mult=0 policy).
-    if wd:
-        chain.append(optax.masked(optax.add_decayed_weights(wd),
-                                  _mask_for(labels, ("weight",))))
-    if wd_bias:
-        chain.append(optax.masked(optax.add_decayed_weights(wd_bias),
-                                  _mask_for(labels, ("bias",))))
-    # Bias lr factor: with SGD the update is linear in the gradient, so
-    # scaling bias grads ahead of momentum == scaling their lr.
-    if bias_factor != 1.0:
-        chain.append(optax.masked(optax.scale(bias_factor),
-                                  _mask_for(labels, ("bias",))))
+    if bool(cfg.SOLVER.USE_TRICK):
+        # TSN trick policies (reference: create_optimizer + get_optim_policies,
+        # lib/solver/build.py:6-21 / visual_wrappers.py:146-211): per-group
+        # lr_mult as a masked grad scale (linear in SGD => == lr scale) and
+        # per-group decay_mult on the weight decay.
+        labels = label_params_trick(params, cfg.INPUT.MODALITY)
+        lr_key = ("lr_mult_flow" if cfg.INPUT.MODALITY == "Flow"
+                  else "lr_mult_rgb")
+        for group, pol in _TRICK_POLICIES.items():
+            mask = _mask_for(labels, (group,))
+            if wd and pol["decay_mult"]:
+                chain.append(optax.masked(
+                    optax.add_decayed_weights(wd * pol["decay_mult"]), mask))
+            if pol[lr_key] != 1.0:
+                chain.append(optax.masked(optax.scale(pol[lr_key]), mask))
+    else:
+        labels = label_params(params)
+        # Per-group weight decay: weights get WEIGHT_DECAY; biases get
+        # WEIGHT_DECAY_BIAS; BN params get none (decay_mult=0 policy).
+        if wd:
+            chain.append(optax.masked(optax.add_decayed_weights(wd),
+                                      _mask_for(labels, ("weight",))))
+        if wd_bias:
+            chain.append(optax.masked(optax.add_decayed_weights(wd_bias),
+                                      _mask_for(labels, ("bias",))))
+        # Bias lr factor: with SGD the update is linear in the gradient, so
+        # scaling bias grads ahead of momentum == scaling their lr.
+        if bias_factor != 1.0:
+            chain.append(optax.masked(optax.scale(bias_factor),
+                                      _mask_for(labels, ("bias",))))
 
     if name == "SGD":
         momentum = float(cfg.SOLVER.MOMENTUM)
