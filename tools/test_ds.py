@@ -30,6 +30,7 @@ from video_graph_ssl_tpu.data import make_test_loader
 from video_graph_ssl_tpu.data.transforms_device import multi_crop_eval
 from video_graph_ssl_tpu.engine import create_downstream_state
 from video_graph_ssl_tpu.models import create_video_model
+from video_graph_ssl_tpu.parallel import mesh_from_cfg, pad_batch_to_multiple
 from video_graph_ssl_tpu.utils import accuracy, load_checkpoint_state
 
 
@@ -89,11 +90,14 @@ def main_work():
 
     loader = make_test_loader(cfg, num_clips=args.test_clips)
     eval_fn = build_eval_fn(cfg, model, args.test_crops)
+    n_dev = mesh_from_cfg(cfg).shape["data"]
 
     scores, labels = [], []
     seen = 0
     for batch in loader.epoch(0):
-        s = eval_fn(state, batch["clips"])
+        padded, real_n = pad_batch_to_multiple(
+            {"clips": batch["clips"]}, n_dev)
+        s = eval_fn(state, padded["clips"])[:real_n]
         scores.append(np.asarray(s))
         labels.append(batch["label"])
         seen += len(batch["label"])

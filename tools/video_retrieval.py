@@ -32,6 +32,7 @@ from video_graph_ssl_tpu.data import make_test_loader
 from video_graph_ssl_tpu.data.transforms_device import multi_crop_eval
 from video_graph_ssl_tpu.engine import create_pretrain_state
 from video_graph_ssl_tpu.models import create_visual_model
+from video_graph_ssl_tpu.parallel import mesh_from_cfg, pad_batch_to_multiple
 from video_graph_ssl_tpu.utils import load_checkpoint_state
 
 TOPK = (1, 5, 10, 20, 50)
@@ -89,11 +90,14 @@ def extract_split(config, args, model, state, split: str):
         split_cfg.DATASET.VALIDATION_SPLIT = config.DATASET.TRAIN_SPLIT
     loader = make_test_loader(split_cfg, num_clips=args.test_clips)
     feat_fn = build_feature_fn(config, model, n_crops=args.test_crops)
+    n_dev = mesh_from_cfg(config).shape["data"]
 
     feats, classes = [], []
     seen = 0
     for batch in loader.epoch(0):
-        f = feat_fn(state, batch["clips"])
+        padded, real_n = pad_batch_to_multiple(
+            {"clips": batch["clips"]}, n_dev)
+        f = feat_fn(state, padded["clips"])[:real_n]
         feats.append(np.asarray(f))
         classes.append(batch["label"])
         seen += len(batch["label"])
