@@ -79,3 +79,52 @@ def test_encoder_surgery(tiny_cfg, tmp_path):
         {"params": s.params, "batch_stats": s.batch_stats}, x,
         train=False))(ds_state, x1)
     assert logits.shape == (2, int(tiny_cfg.DATASET.NUM_CLASS))
+
+
+def test_resume_is_bit_exact(tiny_cfg, tmp_path):
+    """Training N steps straight == training k, checkpointing, restoring,
+    and training N-k more (deterministic data + step-derived rngs +
+    saved optimizer/queue state)."""
+    import numpy as np
+    from video_graph_ssl_tpu.engine import make_pretrain_step
+
+    c = tiny_cfg.clone()
+    c.CONTRAST.MEM_TYPE = "moco"
+    model, _ = create_visual_model(c)
+    g = np.random.default_rng(0)
+    batches = [
+        {"clips": jnp.asarray(g.normal(size=(4, 2, 4, 16, 16, 3)),
+                              jnp.float32),
+         "label": jnp.zeros(4, jnp.int32),
+         "index": jnp.arange(4, dtype=jnp.int32)}
+        for _ in range(4)
+    ]
+    example = batches[0]["clips"][:2, 0]
+
+    def fresh():
+        state, tx = create_pretrain_state(c, model, example, n_data=16)
+        step = jax.jit(make_pretrain_step(c, model, tx), donate_argnums=0)
+        return state, step
+
+    # straight run
+    state_a, step = fresh()
+    for b in batches:
+        state_a, _ = step(state_a, b, 0.1)
+
+    # interrupted run
+    state_b, step = fresh()
+    for b in batches[:2]:
+        state_b, _ = step(state_b, b, 0.1)
+    path = str(tmp_path / "mid.msgpack")
+    save_checkpoint_state(path, state_b, epoch=0)
+    template, _tx = create_pretrain_state(c, model, example, n_data=16)
+    state_b, _meta = load_checkpoint_state(path, template)
+    for b in batches[2:]:
+        state_b, _ = step(state_b, b, 0.1)
+
+    for pa, pb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    np.testing.assert_array_equal(np.asarray(state_a.contrast.queue),
+                                  np.asarray(state_b.contrast.queue))
+    assert int(state_a.contrast.ptr) == int(state_b.contrast.ptr)
