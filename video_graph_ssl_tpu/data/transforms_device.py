@@ -493,51 +493,88 @@ def _saturation_cf(clip, f):
                     0.0, 255.0).astype(clip.dtype)
 
 
-def _hue_cf(clip, shift):
-    x = clip.astype(jnp.float32) / 255.0
-    r, g, b = x[:, 0], x[:, 1], x[:, 2]
-    maxc = jnp.maximum(jnp.maximum(r, g), b)
-    minc = jnp.minimum(jnp.minimum(r, g), b)
-    delta = maxc - minc
-    safe = jnp.maximum(delta, 1e-12)
-    rc, gc, bc = (maxc - r) / safe, (maxc - g) / safe, (maxc - b) / safe
-    h = jnp.where(r == maxc, bc - gc,
-                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
-    h = jnp.where(delta == 0, 0.0, (h / 6.0) % 1.0)
-    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
-    v = maxc
-    h = (h + shift) % 1.0
+def _hue_cf(clip, shift, internal=jnp.float32):
+    """HSV hue shift on (T, C, H, W) pixels in [0, 255].
 
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
+    Works in ``u = 6*h`` units so the whole round-trip needs ONE reciprocal
+    and no div/mod: p/q/t come from ``maxc - delta*{1, f, 1-f}`` and the
+    wrap of ``u + 6*shift`` is two selects (|shift| <= 0.5).  ``internal``
+    is the arithmetic dtype — the SSL chain passes its compute dtype
+    (bfloat16: ~1.4 degrees hue resolution, immaterial for a random
+    augmentation and ~2x faster; golden parity vs torchvision is tested at
+    float32).
+    """
+    x = clip.astype(internal)
+    r, g, b = x[:, 0], x[:, 1], x[:, 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn
+    inv = 1.0 / jnp.maximum(d, jnp.asarray(1e-6, internal))
+    u = jnp.where(r == mx, (g - b) * inv,
+                  jnp.where(g == mx, 2.0 + (b - r) * inv,
+                            4.0 + (r - g) * inv))
+    u = u + 6.0 * shift
+    u = jnp.where(u < 0.0, u + 6.0, u)
+    u = jnp.where(u >= 6.0, u - 6.0, u)
+    i = jnp.floor(u)
+    f = u - i
+    p = mx - d
+    q = mx - d * f
+    t = mx - d * (1.0 - f)
+    i = i.astype(jnp.int32)
 
     def sel(c0, c1, c2, c3, c4, c5):
         return jnp.where(i == 0, c0, jnp.where(i == 1, c1, jnp.where(
             i == 2, c2, jnp.where(i == 3, c3, jnp.where(i == 4, c4, c5)))))
 
-    rgb = jnp.stack([sel(v, q, p, p, t, v), sel(t, v, v, q, p, p),
-                     sel(p, p, t, v, v, q)], axis=1)
-    return jnp.clip(rgb * 255.0, 0.0, 255.0).astype(clip.dtype)
+    rgb = jnp.stack([sel(mx, q, p, p, t, mx), sel(t, mx, mx, q, p, p),
+                     sel(p, p, t, mx, mx, q)], axis=1)
+    return rgb.astype(clip.dtype)
 
 
-def _color_jitter_cf(key, clip, order, brightness=0.4, contrast=0.4,
-                     saturation=0.4, hue=0.1):
+# The 24 possible ColorJitter op orders.  Dispatching ONCE on the whole
+# permutation (scalar lax.switch over 24 statically-ordered chains) instead
+# of per-op (fori_loop of switches) lets XLA fuse the entire
+# brightness/contrast/saturation chain into ~2 HBM passes per branch —
+# measured 19.9 ms -> 7.5 ms on (256,16,3,112,112) bf16.
+_JITTER_PERMS: Tuple[Tuple[int, ...], ...] = tuple(
+    (a, b, c, d)
+    for a in range(4) for b in range(4) for c in range(4) for d in range(4)
+    if len({a, b, c, d}) == 4)
+
+
+def _jitter_chain_cf(perm, clip, fb, fc, fs, fh, internal=jnp.float32):
+    """Apply the four jitter ops in the STATIC order ``perm``."""
+    ops = {
+        0: lambda c: _brightness_cf(c, fb),
+        1: lambda c: _contrast_cf(c, fc),
+        2: lambda c: _saturation_cf(c, fs),
+        3: lambda c: _hue_cf(c, fh, internal=internal),
+    }
+    for o in perm:
+        clip = ops[o](clip)
+    return clip
+
+
+def _color_jitter_cf(key, clip, perm_id, brightness=0.4, contrast=0.4,
+                     saturation=0.4, hue=0.1, internal=jnp.float32):
+    """Clip-consistent ColorJitter on (T, C, H, W).
+
+    ``perm_id``: scalar index into ``_JITTER_PERMS`` selecting the op
+    order (reference: random.shuffle per clip,
+    consistency_transforms.py:318-332).  Must be unbatched at trace time —
+    a vmapped per-clip index would execute all 24 branches; the SSL
+    pipeline shards the batch into order-groups instead
+    (``make_batch_augment_fn``).
+    """
     kb, kc, ks, kh = jax.random.split(key, 4)
     fb = jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
     fc = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
     fs = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
     fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
-    ops = [lambda c: _brightness_cf(c, fb), lambda c: _contrast_cf(c, fc),
-           lambda c: _saturation_cf(c, fs), lambda c: _hue_cf(c, fh)]
-
-    def body(i, c):
-        return jax.lax.switch(order[i], ops, c)
-
-    return jax.lax.fori_loop(0, 4, body, clip)
+    branches = [partial(_jitter_chain_cf, p, internal=internal)
+                for p in _JITTER_PERMS]
+    return jax.lax.switch(perm_id, branches, clip, fb, fc, fs, fh)
 
 
 def _blur_matrix(size: int, sigma, kernel_size: int = 13):
@@ -616,17 +653,22 @@ def ssl_augment_cf(
     key: jax.Array, clip: jnp.ndarray, out_hw: Tuple[int, int],
     mean, std,
     rrc_scale=(0.2, 1.0), jitter_p=0.8, gray_p=0.2, blur_p=0.5, flip_p=0.5,
-    jitter_order: jnp.ndarray = None, compute_dtype=jnp.float32,
+    jitter_perm_id=None, compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Channel-first implementation of ``ssl_augment`` (same math, TPU
-    lane-efficient); input/output stay channels-last (T, H, W, C)."""
+    lane-efficient); input/output stay channels-last (T, H, W, C).
+
+    ``jitter_perm_id``: scalar index into ``_JITTER_PERMS`` (must be
+    unbatched at trace time — see ``_color_jitter_cf``); None samples one
+    from the key."""
     keys = jax.random.split(key, 7)
-    if jitter_order is None:
-        jitter_order = jax.random.permutation(
-            jax.random.fold_in(keys[1], 1), 4)
+    if jitter_perm_id is None:
+        jitter_perm_id = jax.random.randint(
+            jax.random.fold_in(keys[1], 1), (), 0, len(_JITTER_PERMS))
     x = jnp.transpose(clip, (0, 3, 1, 2)).astype(compute_dtype)  # (T,C,H,W)
     x = _rrc_cf(keys[0], x, out_hw, scale=rrc_scale)
-    jittered = _color_jitter_cf(keys[1], x, jitter_order)
+    jittered = _color_jitter_cf(keys[1], x, jitter_perm_id,
+                                internal=compute_dtype)
     x = jnp.where(jax.random.uniform(keys[2]) < jitter_p, jittered, x)
     x = jnp.where(jax.random.uniform(keys[3]) < gray_p, _gray_cf(x), x)
     blurred = _blur_cf(keys[4], x)
@@ -658,14 +700,33 @@ def make_batch_augment_fn(cfg, kind: str):
         compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
 
         def fn(key, clips):
+            # Order-groups: the jitter op order must be a scalar at trace
+            # time (see _color_jitter_cf), so the flattened (B*V) clip-views
+            # are split into G groups, each drawing an independent random
+            # order per step (lax.map keeps the per-group switch index
+            # scalar).  With the shuffled sampler randomizing clip->group
+            # assignment every epoch this is distributionally ~the
+            # reference's per-clip shuffle; factors stay per-clip.
             b, v = clips.shape[0], clips.shape[1]
-            k_order, key = jax.random.split(key)
-            order = jax.random.permutation(k_order, 4)  # step-shared order
-            per_clip = partial(ssl_augment_cf, out_hw=out_hw, mean=mean,
-                               std=std, flip_p=flip_p, jitter_order=order,
-                               compute_dtype=compute_dtype)
-            keys = jax.random.split(key, b * v).reshape(b, v)
-            return jax.vmap(jax.vmap(per_clip))(keys, clips)
+            n = b * v
+            n_groups = next(g for g in (8, 4, 2, 1) if n % g == 0)
+            k_perm, key = jax.random.split(key)
+            perm_ids = jax.random.randint(k_perm, (n_groups,), 0,
+                                          len(_JITTER_PERMS))
+            keys = jax.random.split(key, n)
+            flat = clips.reshape(n_groups, n // n_groups, *clips.shape[2:])
+            keys = keys.reshape(n_groups, n // n_groups)
+
+            def group(args):
+                xg, kg, pid = args
+                per_clip = partial(ssl_augment_cf, out_hw=out_hw, mean=mean,
+                                   std=std, flip_p=flip_p,
+                                   jitter_perm_id=pid,
+                                   compute_dtype=compute_dtype)
+                return jax.vmap(per_clip)(kg, xg)
+
+            out = jax.lax.map(group, (flat, keys, perm_ids))
+            return out.reshape(b, v, *out.shape[2:])
 
         return fn
 
