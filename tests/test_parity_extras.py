@@ -104,3 +104,42 @@ def test_adver_dataset_shape():
                           canvas_hw=(16, 16), use_adver=True, nsamples=3)
         item = ds.__getitem__(0, np.random.default_rng(0))
         assert item["clips"].shape == (3, 4, 16, 16, 3)
+
+
+@pytest.mark.parametrize("build_kw", [
+    ("bninception", dict(size=64)),
+    ("inception_v3", dict(size=96)),
+], ids=["bninception", "inception_v3"])
+def test_partial_bn_2d_inception_freezes_later_stages(build_kw):
+    """Partial-BN parity for the 2D inception nets: with partial_bn=True a
+    training step must not move any BN running statistic except the first
+    conv stage's (reference model_wrappers.py:130-146)."""
+    name, kw = build_kw
+    from video_graph_ssl_tpu.models.bninception import bninception
+    from video_graph_ssl_tpu.models.inceptionv3 import inception_v3
+    build = {"bninception": bninception, "inception_v3": inception_v3}[name]
+    first = {"bninception": "conv1", "inception_v3": "conv1a"}[name]
+    s = kw["size"]
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, s, s, 3)),
+                    jnp.float32)
+    m = build(partial_bn=True, dtype=jnp.float32)
+    v = jax.jit(lambda x: m.init({"params": jax.random.key(0)}, x,
+                                 train=True))(x)
+    _, muts = jax.jit(lambda v, x: m.apply(
+        v, x, train=True, mutable=["batch_stats"]))(v, x)
+
+    def flatten(tree, prefix=()):
+        for k, sub in tree.items():
+            if isinstance(sub, dict):
+                yield from flatten(sub, prefix + (k,))
+            else:
+                yield prefix + (k,), sub
+
+    new = dict(flatten(muts["batch_stats"]))
+    old = dict(flatten(v["batch_stats"]))
+    moved = {k for k in new
+             if not np.allclose(np.asarray(new[k]), np.asarray(old[k]))}
+    # only the first conv stage's BN stats may move
+    assert moved, "first-stage BN stats should update"
+    for k in moved:
+        assert k[0] == first, f"frozen BN moved: {'/'.join(k)}"

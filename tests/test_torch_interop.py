@@ -120,3 +120,31 @@ def test_strip_prefixes():
     sd = {"module.encoder.base_model.base.0.conv_s.weight": np.zeros(1)}
     out = strip_prefixes(sd)
     assert list(out) == ["base.0.conv_s.weight"]
+
+
+def test_s3d_head_pooling_matches_reference_weighting():
+    """The reference head pools avg_pool3d((2, H, W), stride 1) then means
+    over the remaining temporal windows (s3d_1.py:28-35) — endpoint frames
+    get half weight at T'>2 (the 32-frame fine-tune setting).  Golden-check
+    our pooling formula against the actual torch ops for T'=2 and T'=4."""
+    import torch
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+
+    g = np.random.default_rng(7)
+    for t in (2, 4):
+        y = g.normal(size=(3, 1024, t, 4, 4)).astype(np.float32)  # NCTHW
+        ref = F.avg_pool3d(torch.from_numpy(y), (2, 4, 4), stride=1)
+        ref = ref.view(3, 1024, t - 1).mean(2).numpy()
+
+        # our formula (models/s3d.py head): spatial mean -> adjacent-pair
+        # average -> temporal mean, on channels-last activations
+        x = jnp.asarray(np.transpose(y, (0, 2, 3, 4, 1)))  # (B,T,H,W,C)
+        z = jnp.mean(x, axis=(2, 3))
+        z = (z[:, :-1] + z[:, 1:]) * 0.5
+        ours = np.asarray(jnp.mean(z, axis=1))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+        if t == 2:  # at T'=2 the weighting degenerates to the uniform mean
+            uniform = np.asarray(jnp.mean(x, axis=(1, 2, 3)))
+            np.testing.assert_allclose(ours, uniform, rtol=1e-5, atol=1e-5)

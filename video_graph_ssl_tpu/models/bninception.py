@@ -45,13 +45,16 @@ class BasicConv2d(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_frozen: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     (self.stride, self.stride),
                     [(self.padding, self.padding)] * 2, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        # bn_frozen: partial-BN — running stats even in training (reference
+        # VideoModelWrapper.train() override, model_wrappers.py:130-146).
+        x = nn.BatchNorm(use_running_average=(not train) or bn_frozen,
+                         momentum=0.9,
                          epsilon=1e-3, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="bn")(x)
         return nn.relu(x.astype(self.dtype))
@@ -62,18 +65,19 @@ class InceptionBN(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_frozen: bool = False):
         c1, c3r, c3, cdr, cdm, cdb, cp, pool_kind = self.spec
         kw = dict(dtype=self.dtype)
-        b1 = BasicConv2d(c1, 1, name="branch1", **kw)(x, train)
-        b2 = BasicConv2d(c3r, 1, name="branch2_reduce", **kw)(x, train)
-        b2 = BasicConv2d(c3, 3, padding=1, name="branch2", **kw)(b2, train)
-        b3 = BasicConv2d(cdr, 1, name="branch3_reduce", **kw)(x, train)
-        b3 = BasicConv2d(cdm, 3, padding=1, name="branch3_mid", **kw)(b3, train)
-        b3 = BasicConv2d(cdb, 3, padding=1, name="branch3", **kw)(b3, train)
+        bf = bn_frozen
+        b1 = BasicConv2d(c1, 1, name="branch1", **kw)(x, train, bf)
+        b2 = BasicConv2d(c3r, 1, name="branch2_reduce", **kw)(x, train, bf)
+        b2 = BasicConv2d(c3, 3, padding=1, name="branch2", **kw)(b2, train, bf)
+        b3 = BasicConv2d(cdr, 1, name="branch3_reduce", **kw)(x, train, bf)
+        b3 = BasicConv2d(cdm, 3, padding=1, name="branch3_mid", **kw)(b3, train, bf)
+        b3 = BasicConv2d(cdb, 3, padding=1, name="branch3", **kw)(b3, train, bf)
         pool = nn.max_pool if pool_kind == "max" else nn.avg_pool
         b4 = pool(x, (3, 3), (1, 1), [(1, 1), (1, 1)])
-        b4 = BasicConv2d(cp, 1, name="branch4", **kw)(b4, train)
+        b4 = BasicConv2d(cp, 1, name="branch4", **kw)(b4, train, bf)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
@@ -82,35 +86,41 @@ class InceptionBNReduce(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_frozen: bool = False):
         c3r, c3, cdr, cdm, cdb = self.spec
         kw = dict(dtype=self.dtype)
-        b1 = BasicConv2d(c3r, 1, name="branch1_reduce", **kw)(x, train)
-        b1 = BasicConv2d(c3, 3, 2, 1, name="branch1", **kw)(b1, train)
-        b2 = BasicConv2d(cdr, 1, name="branch2_reduce", **kw)(x, train)
-        b2 = BasicConv2d(cdm, 3, padding=1, name="branch2_mid", **kw)(b2, train)
-        b2 = BasicConv2d(cdb, 3, 2, 1, name="branch2", **kw)(b2, train)
+        bf = bn_frozen
+        b1 = BasicConv2d(c3r, 1, name="branch1_reduce", **kw)(x, train, bf)
+        b1 = BasicConv2d(c3, 3, 2, 1, name="branch1", **kw)(b1, train, bf)
+        b2 = BasicConv2d(cdr, 1, name="branch2_reduce", **kw)(x, train, bf)
+        b2 = BasicConv2d(cdm, 3, padding=1, name="branch2_mid", **kw)(b2, train, bf)
+        b2 = BasicConv2d(cdb, 3, 2, 1, name="branch2", **kw)(b2, train, bf)
         b3 = nn.max_pool(x, (3, 3), (2, 2), [(0, 1), (0, 1)])  # ceil_mode
         return jnp.concatenate([b1, b2, b3], axis=-1)
 
 
 class BNInception(nn.Module):
     num_classes: Optional[int] = None
+    # Partial-BN (reference model_wrappers.py:130-146): when training
+    # downstream, every BN after the first conv stage runs on its running
+    # statistics (affine params still receive gradients).
+    partial_bn: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype)
+        bf = self.partial_bn and train
         x = x.astype(self.dtype)
-        x = BasicConv2d(64, 7, 2, 3, name="conv1", **kw)(x, train)
+        x = BasicConv2d(64, 7, 2, 3, name="conv1", **kw)(x, train, False)
         x = nn.max_pool(x, (3, 3), (2, 2), [(0, 1), (0, 1)])
-        x = BasicConv2d(64, 1, name="conv2", **kw)(x, train)
-        x = BasicConv2d(192, 3, padding=1, name="conv3", **kw)(x, train)
+        x = BasicConv2d(64, 1, name="conv2", **kw)(x, train, bf)
+        x = BasicConv2d(192, 3, padding=1, name="conv3", **kw)(x, train, bf)
         x = nn.max_pool(x, (3, 3), (2, 2), [(0, 1), (0, 1)])
         for name, (kind, spec) in zip(_NAMES, _PLAN):
             cls = InceptionBN if kind == "i" else InceptionBNReduce
-            x = cls(spec, name=name, **kw)(x, train)
+            x = cls(spec, name=name, **kw)(x, train, bf)
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         if self.num_classes is None:
             return feat
@@ -126,5 +136,4 @@ def bninception(**kwargs):
     kwargs.pop("aug_points", None)
     kwargs.pop("graph_cfg", None)
     kwargs.pop("remat", None)
-    kwargs.pop("partial_bn", None)  # partial-BN TODO for inception 2D nets
     return BNInception(**kwargs)

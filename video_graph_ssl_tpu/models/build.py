@@ -42,6 +42,11 @@ BACKBONES_3D = {
     "resnet3d_50": (resnet3d.resnet3d_50, 2048, (2, 3, 4)),
     "resnet3d_101": (resnet3d.resnet3d_101, 2048, (2, 3, 4)),
     "resnet3d_152": (resnet3d.resnet3d_152, 2048, (2, 3, 4)),
+    "resnet3d_200": (resnet3d.resnet3d_200, 2048, (2, 3, 4)),
+    # factorized (spatial+temporal) family, reference resnet_i3d.py:141-249
+    "resnet_i3d_18": (resnet3d.resnet_i3d_18, 512, (2, 3, 4)),
+    "resnet_i3d_50": (resnet3d.resnet_i3d_50, 2048, (2, 3, 4)),
+    "resnet_i3d_101": (resnet3d.resnet_i3d_101, 2048, (2, 3, 4)),
     # test/dry-run-only micro backbone (not in the reference inventory)
     "tiny3d": (lambda **kw: Tiny3D(**kw), TINY3D_FEATURE_DIM, (1,)),
 }

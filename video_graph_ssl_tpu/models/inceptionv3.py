@@ -26,12 +26,15 @@ class ConvBNRelu(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_frozen: bool = False):
         x = nn.Conv(self.features, self.kernel, (self.stride, self.stride),
                     [(self.padding[0],) * 2, (self.padding[1],) * 2],
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        # bn_frozen: partial-BN — running stats even in training (reference
+        # VideoModelWrapper.train() override, model_wrappers.py:130-146).
+        x = nn.BatchNorm(use_running_average=(not train) or bn_frozen,
+                         momentum=0.9,
                          epsilon=1e-3, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="bn")(x)
         return nn.relu(x.astype(self.dtype))
@@ -42,16 +45,16 @@ class InceptionA(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_frozen: bool = False):
         kw = dict(dtype=self.dtype)
-        b1 = ConvBNRelu(64, name="b1x1", **kw)(x, train)
-        b5 = ConvBNRelu(48, name="b5_1", **kw)(x, train)
-        b5 = ConvBNRelu(64, (5, 5), padding=(2, 2), name="b5_2", **kw)(b5, train)
-        b3 = ConvBNRelu(64, name="b3_1", **kw)(x, train)
-        b3 = ConvBNRelu(96, (3, 3), padding=(1, 1), name="b3_2", **kw)(b3, train)
-        b3 = ConvBNRelu(96, (3, 3), padding=(1, 1), name="b3_3", **kw)(b3, train)
+        b1 = ConvBNRelu(64, name="b1x1", **kw)(x, train, bn_frozen)
+        b5 = ConvBNRelu(48, name="b5_1", **kw)(x, train, bn_frozen)
+        b5 = ConvBNRelu(64, (5, 5), padding=(2, 2), name="b5_2", **kw)(b5, train, bn_frozen)
+        b3 = ConvBNRelu(64, name="b3_1", **kw)(x, train, bn_frozen)
+        b3 = ConvBNRelu(96, (3, 3), padding=(1, 1), name="b3_2", **kw)(b3, train, bn_frozen)
+        b3 = ConvBNRelu(96, (3, 3), padding=(1, 1), name="b3_3", **kw)(b3, train, bn_frozen)
         bp = nn.avg_pool(x, (3, 3), (1, 1), [(1, 1), (1, 1)])
-        bp = ConvBNRelu(self.pool_features, name="bpool", **kw)(bp, train)
+        bp = ConvBNRelu(self.pool_features, name="bpool", **kw)(bp, train, bn_frozen)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -59,12 +62,12 @@ class InceptionB(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_frozen: bool = False):
         kw = dict(dtype=self.dtype)
-        b3 = ConvBNRelu(384, (3, 3), 2, name="b3", **kw)(x, train)
-        bd = ConvBNRelu(64, name="bd_1", **kw)(x, train)
-        bd = ConvBNRelu(96, (3, 3), padding=(1, 1), name="bd_2", **kw)(bd, train)
-        bd = ConvBNRelu(96, (3, 3), 2, name="bd_3", **kw)(bd, train)
+        b3 = ConvBNRelu(384, (3, 3), 2, name="b3", **kw)(x, train, bn_frozen)
+        bd = ConvBNRelu(64, name="bd_1", **kw)(x, train, bn_frozen)
+        bd = ConvBNRelu(96, (3, 3), padding=(1, 1), name="bd_2", **kw)(bd, train, bn_frozen)
+        bd = ConvBNRelu(96, (3, 3), 2, name="bd_3", **kw)(bd, train, bn_frozen)
         bp = nn.max_pool(x, (3, 3), (2, 2))
         return jnp.concatenate([b3, bd, bp], axis=-1)
 
@@ -74,20 +77,20 @@ class InceptionC(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_frozen: bool = False):
         kw = dict(dtype=self.dtype)
         c7 = self.c7
-        b1 = ConvBNRelu(192, name="b1x1", **kw)(x, train)
-        b7 = ConvBNRelu(c7, name="b7_1", **kw)(x, train)
-        b7 = ConvBNRelu(c7, (1, 7), padding=(0, 3), name="b7_2", **kw)(b7, train)
-        b7 = ConvBNRelu(192, (7, 1), padding=(3, 0), name="b7_3", **kw)(b7, train)
-        bd = ConvBNRelu(c7, name="bd_1", **kw)(x, train)
-        bd = ConvBNRelu(c7, (7, 1), padding=(3, 0), name="bd_2", **kw)(bd, train)
-        bd = ConvBNRelu(c7, (1, 7), padding=(0, 3), name="bd_3", **kw)(bd, train)
-        bd = ConvBNRelu(c7, (7, 1), padding=(3, 0), name="bd_4", **kw)(bd, train)
-        bd = ConvBNRelu(192, (1, 7), padding=(0, 3), name="bd_5", **kw)(bd, train)
+        b1 = ConvBNRelu(192, name="b1x1", **kw)(x, train, bn_frozen)
+        b7 = ConvBNRelu(c7, name="b7_1", **kw)(x, train, bn_frozen)
+        b7 = ConvBNRelu(c7, (1, 7), padding=(0, 3), name="b7_2", **kw)(b7, train, bn_frozen)
+        b7 = ConvBNRelu(192, (7, 1), padding=(3, 0), name="b7_3", **kw)(b7, train, bn_frozen)
+        bd = ConvBNRelu(c7, name="bd_1", **kw)(x, train, bn_frozen)
+        bd = ConvBNRelu(c7, (7, 1), padding=(3, 0), name="bd_2", **kw)(bd, train, bn_frozen)
+        bd = ConvBNRelu(c7, (1, 7), padding=(0, 3), name="bd_3", **kw)(bd, train, bn_frozen)
+        bd = ConvBNRelu(c7, (7, 1), padding=(3, 0), name="bd_4", **kw)(bd, train, bn_frozen)
+        bd = ConvBNRelu(192, (1, 7), padding=(0, 3), name="bd_5", **kw)(bd, train, bn_frozen)
         bp = nn.avg_pool(x, (3, 3), (1, 1), [(1, 1), (1, 1)])
-        bp = ConvBNRelu(192, name="bpool", **kw)(bp, train)
+        bp = ConvBNRelu(192, name="bpool", **kw)(bp, train, bn_frozen)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -95,14 +98,14 @@ class InceptionD(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_frozen: bool = False):
         kw = dict(dtype=self.dtype)
-        b3 = ConvBNRelu(192, name="b3_1", **kw)(x, train)
-        b3 = ConvBNRelu(320, (3, 3), 2, name="b3_2", **kw)(b3, train)
-        b7 = ConvBNRelu(192, name="b7_1", **kw)(x, train)
-        b7 = ConvBNRelu(192, (1, 7), padding=(0, 3), name="b7_2", **kw)(b7, train)
-        b7 = ConvBNRelu(192, (7, 1), padding=(3, 0), name="b7_3", **kw)(b7, train)
-        b7 = ConvBNRelu(192, (3, 3), 2, name="b7_4", **kw)(b7, train)
+        b3 = ConvBNRelu(192, name="b3_1", **kw)(x, train, bn_frozen)
+        b3 = ConvBNRelu(320, (3, 3), 2, name="b3_2", **kw)(b3, train, bn_frozen)
+        b7 = ConvBNRelu(192, name="b7_1", **kw)(x, train, bn_frozen)
+        b7 = ConvBNRelu(192, (1, 7), padding=(0, 3), name="b7_2", **kw)(b7, train, bn_frozen)
+        b7 = ConvBNRelu(192, (7, 1), padding=(3, 0), name="b7_3", **kw)(b7, train, bn_frozen)
+        b7 = ConvBNRelu(192, (3, 3), 2, name="b7_4", **kw)(b7, train, bn_frozen)
         bp = nn.max_pool(x, (3, 3), (2, 2))
         return jnp.concatenate([b3, b7, bp], axis=-1)
 
@@ -111,48 +114,53 @@ class InceptionE(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_frozen: bool = False):
         kw = dict(dtype=self.dtype)
-        b1 = ConvBNRelu(320, name="b1x1", **kw)(x, train)
-        b3 = ConvBNRelu(384, name="b3_1", **kw)(x, train)
-        b3a = ConvBNRelu(384, (1, 3), padding=(0, 1), name="b3_2a", **kw)(b3, train)
-        b3b = ConvBNRelu(384, (3, 1), padding=(1, 0), name="b3_2b", **kw)(b3, train)
+        b1 = ConvBNRelu(320, name="b1x1", **kw)(x, train, bn_frozen)
+        b3 = ConvBNRelu(384, name="b3_1", **kw)(x, train, bn_frozen)
+        b3a = ConvBNRelu(384, (1, 3), padding=(0, 1), name="b3_2a", **kw)(b3, train, bn_frozen)
+        b3b = ConvBNRelu(384, (3, 1), padding=(1, 0), name="b3_2b", **kw)(b3, train, bn_frozen)
         b3 = jnp.concatenate([b3a, b3b], axis=-1)
-        bd = ConvBNRelu(448, name="bd_1", **kw)(x, train)
-        bd = ConvBNRelu(384, (3, 3), padding=(1, 1), name="bd_2", **kw)(bd, train)
-        bda = ConvBNRelu(384, (1, 3), padding=(0, 1), name="bd_3a", **kw)(bd, train)
-        bdb = ConvBNRelu(384, (3, 1), padding=(1, 0), name="bd_3b", **kw)(bd, train)
+        bd = ConvBNRelu(448, name="bd_1", **kw)(x, train, bn_frozen)
+        bd = ConvBNRelu(384, (3, 3), padding=(1, 1), name="bd_2", **kw)(bd, train, bn_frozen)
+        bda = ConvBNRelu(384, (1, 3), padding=(0, 1), name="bd_3a", **kw)(bd, train, bn_frozen)
+        bdb = ConvBNRelu(384, (3, 1), padding=(1, 0), name="bd_3b", **kw)(bd, train, bn_frozen)
         bd = jnp.concatenate([bda, bdb], axis=-1)
         bp = nn.avg_pool(x, (3, 3), (1, 1), [(1, 1), (1, 1)])
-        bp = ConvBNRelu(192, name="bpool", **kw)(bp, train)
+        bp = ConvBNRelu(192, name="bpool", **kw)(bp, train, bn_frozen)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3(nn.Module):
     num_classes: Optional[int] = None
+    # Partial-BN (reference model_wrappers.py:130-146): when training
+    # downstream, every BN after the first conv stage runs on its running
+    # statistics (affine params still receive gradients).
+    partial_bn: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype)
+        bf = self.partial_bn and train
         x = x.astype(self.dtype)
-        x = ConvBNRelu(32, (3, 3), 2, name="conv1a", **kw)(x, train)
-        x = ConvBNRelu(32, (3, 3), name="conv2a", **kw)(x, train)
-        x = ConvBNRelu(64, (3, 3), padding=(1, 1), name="conv2b", **kw)(x, train)
+        x = ConvBNRelu(32, (3, 3), 2, name="conv1a", **kw)(x, train, False)
+        x = ConvBNRelu(32, (3, 3), name="conv2a", **kw)(x, train, bf)
+        x = ConvBNRelu(64, (3, 3), padding=(1, 1), name="conv2b", **kw)(x, train, bf)
         x = nn.max_pool(x, (3, 3), (2, 2))
-        x = ConvBNRelu(80, name="conv3b", **kw)(x, train)
-        x = ConvBNRelu(192, (3, 3), name="conv4a", **kw)(x, train)
+        x = ConvBNRelu(80, name="conv3b", **kw)(x, train, bf)
+        x = ConvBNRelu(192, (3, 3), name="conv4a", **kw)(x, train, bf)
         x = nn.max_pool(x, (3, 3), (2, 2))
-        x = InceptionA(32, name="mixed_5b", **kw)(x, train)
-        x = InceptionA(64, name="mixed_5c", **kw)(x, train)
-        x = InceptionA(64, name="mixed_5d", **kw)(x, train)
-        x = InceptionB(name="mixed_6a", **kw)(x, train)
+        x = InceptionA(32, name="mixed_5b", **kw)(x, train, bf)
+        x = InceptionA(64, name="mixed_5c", **kw)(x, train, bf)
+        x = InceptionA(64, name="mixed_5d", **kw)(x, train, bf)
+        x = InceptionB(name="mixed_6a", **kw)(x, train, bf)
         for i, c7 in enumerate((128, 160, 160, 192)):
-            x = InceptionC(c7, name=f"mixed_6{'bcde'[i]}", **kw)(x, train)
-        x = InceptionD(name="mixed_7a", **kw)(x, train)
-        x = InceptionE(name="mixed_7b", **kw)(x, train)
-        x = InceptionE(name="mixed_7c", **kw)(x, train)
+            x = InceptionC(c7, name=f"mixed_6{'bcde'[i]}", **kw)(x, train, bf)
+        x = InceptionD(name="mixed_7a", **kw)(x, train, bf)
+        x = InceptionE(name="mixed_7b", **kw)(x, train, bf)
+        x = InceptionE(name="mixed_7c", **kw)(x, train, bf)
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         if self.num_classes is None:
             return feat
@@ -168,5 +176,4 @@ def inception_v3(**kwargs):
     kwargs.pop("aug_points", None)
     kwargs.pop("graph_cfg", None)
     kwargs.pop("remat", None)
-    kwargs.pop("partial_bn", None)  # partial-BN TODO for inception 2D nets
     return InceptionV3(**kwargs)

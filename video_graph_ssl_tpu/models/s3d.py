@@ -132,8 +132,16 @@ class S3D(nn.Module):
                 x = mixed(b0, b1, b2, b3, name=name, **skw)(x, train,
                                                             bn_frozen)
 
-        # Global spatio-temporal average pool -> (B, 1024).
-        feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+        # Reference head pooling (s3d_1.py:28-35, S3DG_Pytorch.py:331-347):
+        # avg_pool3d((2, H, W), stride 1) then mean over the remaining
+        # temporal windows.  Equivalent to spatial mean -> average of
+        # adjacent-frame pairs -> temporal mean, which gives endpoint frames
+        # HALF the weight of interior frames when T' > 2 (e.g. the 32-frame
+        # fine-tune setting, T'=4).  Identical to a uniform mean at T'<=2.
+        y = jnp.mean(x.astype(jnp.float32), axis=(2, 3))  # (B, T', C)
+        if y.shape[1] > 1:
+            y = (y[:, :-1] + y[:, 1:]) * 0.5
+        feat = jnp.mean(y, axis=1)
         if self.num_classes is None:
             return feat
         logits = nn.Dense(

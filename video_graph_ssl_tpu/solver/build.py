@@ -271,19 +271,113 @@ def make_iter_lr_scheduler(cfg, iters_per_epoch: int) -> Callable[[int], float]:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Write the scheduled lr into an inject_hyperparams state."""
-    # inject_hyperparams keeps hyperparams in a top-level InjectHyperparamsState;
-    # with the frozen-mask chain it is the second element.
-    def _set(state):
-        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
-            state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            return True
-        return False
+    """Write the scheduled lr into an inject_hyperparams state.
 
-    if _set(opt_state):
-        return opt_state
-    if isinstance(opt_state, tuple):
-        for s in opt_state:
-            if _set(s):
-                return opt_state
-    raise ValueError("Could not locate learning_rate hyperparam in opt state")
+    Keys on ``optax.InjectHyperparamsState`` (falling back to duck typing)
+    and searches the whole state tree recursively, so it is robust to any
+    chain nesting around the injected transformation."""
+    inject_cls = getattr(optax, "InjectHyperparamsState", None)
+    hits = []
+
+    def visit(state):
+        is_inject = (inject_cls is not None and isinstance(state, inject_cls)) \
+            or (hasattr(state, "hyperparams")
+                and isinstance(getattr(state, "hyperparams"), dict))
+        if is_inject and "learning_rate" in state.hyperparams:
+            state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            hits.append(state)
+            return
+        if isinstance(state, (tuple, list)):
+            for child in state:
+                visit(child)
+
+    visit(opt_state)
+    if not hits:
+        raise ValueError(
+            "Could not locate learning_rate hyperparam in opt state")
+    return opt_state
+
+
+# --------------------------------------------------------------------------- #
+# lr_spaces family (reference lib/solver/lr_helper.py:77-206)
+# --------------------------------------------------------------------------- #
+def _log_space(epochs: int, start_lr: float = 0.03, end_lr: float = 5e-4,
+               **_):
+    """LogScheduler (lr_helper.py:94-102)."""
+    import numpy as np
+    return np.logspace(math.log10(start_lr), math.log10(end_lr), epochs)
+
+
+def _step_space(epochs: int, start_lr: float = 0.01, end_lr: float = None,
+                step: int = 10, mult: float = 0.1, **_):
+    """StepScheduler (lr_helper.py:105-117) incl. the end_lr→mult/start_lr
+    back-solve used for warmup composition."""
+    import numpy as np
+    if end_lr is not None:
+        if start_lr is None:
+            start_lr = end_lr / (mult ** (epochs // step))
+        else:
+            mult = math.pow(end_lr / start_lr, 1.0 / (epochs // step))
+    return start_lr * (mult ** (np.arange(epochs) // step))
+
+
+def _multi_step_space(epochs: int, start_lr: float = 0.01,
+                      end_lr: float = None, steps=(10, 20, 30, 40),
+                      mult: float = 0.5, **_):
+    """MultiStepScheduler (lr_helper.py:120-141)."""
+    import numpy as np
+    steps = list(steps)
+    if end_lr is not None:
+        if start_lr is None:
+            start_lr = end_lr / (mult ** len(steps))
+        else:
+            mult = math.pow(end_lr / start_lr, 1.0 / len(steps))
+    lr = np.empty(epochs, np.float64)
+    lr[0] = start_lr
+    for i in range(1, epochs):
+        lr[i] = lr[i - 1] * (mult if i in steps else 1.0)
+    return lr
+
+
+def _linear_space(epochs: int, start_lr: float = 0.01, end_lr: float = 0.005,
+                  **_):
+    """LinearStepScheduler (lr_helper.py:144-151)."""
+    import numpy as np
+    return np.linspace(start_lr, end_lr, epochs)
+
+
+def _cos_space(epochs: int, start_lr: float = 0.01, end_lr: float = 0.005,
+               **_):
+    """CosStepScheduler (lr_helper.py:154-165)."""
+    import numpy as np
+    idx = np.arange(epochs, dtype=np.float64)
+    return end_lr + (start_lr - end_lr) * (1.0 + np.cos(idx * math.pi / epochs)) * 0.5
+
+
+LR_SPACES = {
+    "log": _log_space,
+    "step": _step_space,
+    "multi-step": _multi_step_space,
+    "linear": _linear_space,
+    "cos": _cos_space,
+}
+
+
+def build_lr_spaces(spec: dict, epochs: int = 50):
+    """Epoch-indexed lr array — functional port of the reference's
+    ``build_lr_scheduler`` (lr_helper.py:186-206): a named lr space,
+    optionally prefixed by a warmup space consuming ``spec['warmup']['epoch']``
+    of the budget.  Returns a numpy array of length ``epochs``; index with
+    the epoch (the torch version's ``get_cur_lr``)."""
+    import numpy as np
+    spec = dict(spec)
+    if "warmup" in spec:
+        wspec = dict(spec.pop("warmup"))
+        wepochs = int(wspec.pop("epoch"))
+        warm = build_lr_spaces(wspec, wepochs)
+        rest = build_lr_spaces(spec, epochs - wepochs)
+        return np.concatenate([warm, rest])
+    kind = spec.pop("type", "log")
+    if kind not in LR_SPACES:
+        raise ValueError(f'Unknown type of LR Scheduler "{kind}"')
+    return np.asarray(LR_SPACES[kind](epochs, **spec), np.float64)

@@ -33,16 +33,30 @@ class AverageMeter:
 
 def accuracy(output: np.ndarray, target: np.ndarray,
              topk: Sequence[int] = (1,)) -> Tuple[float, ...]:
-    """Top-k accuracy in percent (reference: metric.py:44-67)."""
+    """Top-k accuracy in percent (reference: metric.py:44-67).
+
+    ``target`` may be:
+      * ``(N,)`` int labels — standard top-k accuracy;
+      * ``(N, C)`` multi-label — counts every top-k prediction that hits a
+        positive class (>0.5), matching the reference's element loop
+        (metric.py:57-61) which sums all hits, not any-hit per sample;
+      * ``(N, T, C)`` — max-pooled over the middle axis first
+        (metric.py:46-47).
+    """
     output = np.asarray(output)
     target = np.asarray(target)
+    if target.ndim == 3:
+        target = target.max(axis=1)
     maxk = max(topk)
-    pred = np.argsort(-output, axis=1)[:, :maxk]
-    correct = pred == target[:, None]
-    res = []
-    for k in topk:
-        res.append(float(correct[:, :k].any(axis=1).mean() * 100.0))
-    return tuple(res)
+    n = target.shape[0]
+    pred = np.argsort(-output, axis=1)[:, :maxk]  # (N, maxk)
+    if target.ndim == 1:
+        correct = pred == target[:, None]
+        # single-label: at most one hit per row, so sum == any
+        return tuple(float(correct[:, :k].sum() * 100.0 / n) for k in topk)
+    # multi-label: correct[i, j] = target[i, pred[i, j]] > 0.5
+    correct = np.take_along_axis(target, pred, axis=1) > 0.5
+    return tuple(float(correct[:, :k].sum() * 100.0 / n) for k in topk)
 
 
 def average_precision(output: np.ndarray, target: np.ndarray) -> float:
