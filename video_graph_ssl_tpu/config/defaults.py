@@ -50,6 +50,10 @@ _C.INPUT.FLOW_TMP = "flow_{}_{:05d}.jpg"
 _C.INPUT.FLIP = True
 _C.INPUT.PRE_LOAD = "cv2"
 _C.INPUT.TEMPORAL_JITTER = False
+# Consecutive frames loaded per sampled index, channel-stacked.  -1 = auto
+# by modality: 1 for RGB, 5 for Flow/RGBDiff (the reference wrappers'
+# default, model_wrappers.py:41-45); RGBDiff adds +1 in the dataset.
+_C.INPUT.NEW_LENGTH = -1
 
 # ---------------------------------------------------------------------------- #
 # Dataset

@@ -23,6 +23,22 @@ def _canvas_hw(cfg) -> Tuple[int, int]:
     return (int(cfg.INPUT.SCALE_SIZE[0]), int(cfg.INPUT.SCALE_SIZE[1]))
 
 
+def _img_tmpl(cfg) -> str:
+    """Flow uses the two-placeholder template (reference dataset.py:58-66)."""
+    return (cfg.INPUT.FLOW_TMP if cfg.INPUT.MODALITY == "Flow"
+            else cfg.INPUT.IMG_TMP)
+
+
+def resolve_new_length(cfg) -> int:
+    """INPUT.NEW_LENGTH, or the reference's by-modality default when -1:
+    1 for RGB, 5 otherwise (model_wrappers.py:41-45).  This is the
+    *pre*-RGBDiff value — datasets add the +1 themselves."""
+    nl = int(cfg.INPUT.NEW_LENGTH)
+    if nl <= 0:
+        nl = 1 if cfg.INPUT.MODALITY == "RGB" else 5
+    return nl
+
+
 def build_video_contrastive_loader(cfg) -> Tuple[Loader, int]:
     """SSL pretrain loader; returns (loader, n_data)
     (reference: lib/data/build.py:35-54)."""
@@ -42,10 +58,11 @@ def build_video_contrastive_loader(cfg) -> Tuple[Loader, int]:
             frame_interval=int(cfg.INPUT.SAMPLE_RATE),
             sample_type=cfg.INPUT.SAMPLE_TYPE,
             modality=cfg.INPUT.MODALITY,
-            image_tmpl=cfg.INPUT.IMG_TMP,
+            image_tmpl=_img_tmpl(cfg),
             pre_load=cfg.INPUT.PRE_LOAD,
             canvas_hw=_canvas_hw(cfg),
             temporal_jitter=bool(cfg.INPUT.TEMPORAL_JITTER),
+            new_length=resolve_new_length(cfg),
         )
     loader = Loader(
         ds,
@@ -78,11 +95,12 @@ def make_data_loader(cfg, is_train: bool = True) -> Loader:
             sample_type=cfg.INPUT.SAMPLE_TYPE,
             sample_rate=int(cfg.INPUT.SAMPLE_RATE),
             modality=cfg.INPUT.MODALITY,
-            image_tmpl=cfg.INPUT.IMG_TMP,
+            image_tmpl=_img_tmpl(cfg),
             pre_load=cfg.INPUT.PRE_LOAD,
             canvas_hw=_canvas_hw(cfg),
             random_shift=is_train,
             test_mode=False,
+            new_length=resolve_new_length(cfg),
         )
     return Loader(
         ds,
@@ -116,11 +134,12 @@ def make_test_loader(cfg, num_clips: int = 10) -> Loader:
             sample_type=cfg.INPUT.SAMPLE_TYPE,
             sample_rate=int(cfg.INPUT.SAMPLE_RATE),
             modality=cfg.INPUT.MODALITY,
-            image_tmpl=cfg.INPUT.IMG_TMP,
+            image_tmpl=_img_tmpl(cfg),
             pre_load=cfg.INPUT.PRE_LOAD,
             canvas_hw=_canvas_hw(cfg),
             test_mode=True,
             num_clips=num_clips,
+            new_length=resolve_new_length(cfg),
         )
     return Loader(
         ds,

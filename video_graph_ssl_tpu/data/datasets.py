@@ -83,7 +83,9 @@ class FrameDataset:
         indices = self._indices(record, rng)
         directory = os.path.join(self.root_path, record.path)
         clip = load_clip(directory, self.image_tmpl, indices,
-                         self.pre_load, self.canvas_hw, self.modality)
+                         self.pre_load, self.canvas_hw, self.modality,
+                         new_length=self.new_length,
+                         num_frames=record.num_frames)
         if self.test_mode and self.num_clips > 0:
             clip = clip.reshape((self.num_clips, self.video_length)
                                 + clip.shape[1:])
@@ -116,9 +118,14 @@ class ContrastiveDataset:
     temporal_jitter: bool = True
     random_shift: bool = True
     two_views: bool = True
+    new_length: int = 1
 
     def __post_init__(self):
         self.video_list = parse_split(self.list_file)
+        if self.modality == "RGBDiff":
+            # +1 frame per segment, differenced on device
+            # (reference dataset.py:47-48)
+            self.new_length += 1
 
     def __len__(self) -> int:
         return len(self.video_list)
@@ -145,10 +152,14 @@ class ContrastiveDataset:
         else:
             idx2 = idx1
         v1 = load_clip(directory, self.image_tmpl, idx1, self.pre_load,
-                       self.canvas_hw, self.modality)
+                       self.canvas_hw, self.modality,
+                       new_length=self.new_length,
+                       num_frames=record.num_frames)
         if self.two_views:
             v2 = load_clip(directory, self.image_tmpl, idx2, self.pre_load,
-                           self.canvas_hw, self.modality)
+                           self.canvas_hw, self.modality,
+                           new_length=self.new_length,
+                           num_frames=record.num_frames)
             clips = np.stack([v1, v2], axis=0)
         else:
             clips = v1[None]

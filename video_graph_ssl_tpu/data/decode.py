@@ -81,17 +81,37 @@ def load_clip(
     pre_load: str = "cv2",
     canvas_hw: Optional[Tuple[int, int]] = None,
     modality: str = "RGB",
+    new_length: int = 1,
+    num_frames: Optional[int] = None,
 ) -> np.ndarray:
-    """Decode the frames at 1-based ``indices`` → (T, H, W, C) uint8."""
+    """Decode the frames at 1-based ``indices`` → (T, H, W, C·new_length) uint8.
+
+    For each sampled index, ``new_length`` *consecutive* frames are loaded
+    and stacked along the channel axis, saturating at ``num_frames``
+    (reference: dataset.py:178-191 — ``if p < record.num_frames: p += 1``).
+    Flow stacks ``2·new_length`` channels (x/y per step, the TSN layout the
+    flow conv1 inflation expects, model_wrappers.py:218-235); RGB/RGBDiff
+    stack ``3·new_length`` (RGBDiff's +1 frame is added by the dataset;
+    differencing happens on device, models/wrappers.py).
+    """
     frames = []
     for idx in indices:
-        if modality == "Flow":
-            xy = load_flow_pair(directory, image_tmpl, int(idx), pre_load)
-            img = np.stack(xy, axis=-1)
-        else:
-            img = load_image(os.path.join(directory, image_tmpl.format(int(idx))),
-                             pre_load)
-        if canvas_hw is not None:
-            img = resize_frame(img, canvas_hw)
-        frames.append(img)
+        p = int(idx)
+        steps = []
+        for _ in range(max(1, int(new_length))):
+            if modality == "Flow":
+                xy = load_flow_pair(directory, image_tmpl, p, pre_load)
+                img = np.stack(xy, axis=-1)
+            else:
+                img = load_image(
+                    os.path.join(directory, image_tmpl.format(p)), pre_load)
+            if canvas_hw is not None:
+                img = resize_frame(img, canvas_hw)
+            if img.ndim == 2:
+                img = img[..., None]
+            steps.append(img)
+            if num_frames is None or p < int(num_frames):
+                p += 1
+        frames.append(steps[0] if len(steps) == 1
+                      else np.concatenate(steps, axis=-1))
     return np.stack(frames, axis=0)

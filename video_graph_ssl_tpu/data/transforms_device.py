@@ -221,16 +221,40 @@ def random_crop(key, clip, crop_hw):
     return jax.lax.dynamic_slice(clip, (0, y, x, 0), (t, ch, cw, c))
 
 
-def random_horizontal_flip(key, clip, p=0.5):
+def random_horizontal_flip(key, clip, p=0.5, is_flow=False):
     do = jax.random.uniform(key) < p
-    return jnp.where(do, clip[:, :, ::-1, :], clip)
+    flipped = clip[:, :, ::-1, :]
+    if is_flow:
+        # Flipping reverses horizontal motion: invert the x-flow channels
+        # (even indices of the x/y interleave) in pixel space
+        # (reference video_transforms.py:54-56, ImageOps.invert).
+        flipped = flipped.at[..., 0::2].set(255.0 - flipped[..., 0::2])
+    return jnp.where(do, flipped, clip)
+
+
+def expand_stats(vals: Sequence[float], n_channels: int) -> Tuple[float, ...]:
+    """Adapt per-channel stats to a channel-stacked clip (new_length > 1).
+
+    TSN semantics for stacked inputs: RGB-group stacks tile the 3-channel
+    stats across groups; Flow (2·new_length channels, not divisible by 3)
+    uses the mean of the stats for every channel.  The reference never
+    fixes this itself (VideoNormalize would broadcast-fail on Flow —
+    latent bug); this is the intended behavior per the TSN lineage."""
+    vals = tuple(float(v) for v in vals)
+    if n_channels == len(vals):
+        return vals
+    if n_channels % len(vals) == 0:
+        return vals * (n_channels // len(vals))
+    m = sum(vals) / len(vals)
+    return (m,) * n_channels
 
 
 def normalize(clip, mean: Sequence[float], std: Sequence[float]):
     """(x/255 - mean)/std — VideoNormalize multiplies mean/std by 255 and
     works in pixel space (consistency_transforms.py:45-68); identical result."""
-    mean = jnp.asarray(mean, jnp.float32) * 255.0
-    std = jnp.asarray(std, jnp.float32) * 255.0
+    c = clip.shape[-1]
+    mean = jnp.asarray(expand_stats(mean, c), jnp.float32) * 255.0
+    std = jnp.asarray(expand_stats(std, c), jnp.float32) * 255.0
     return ((clip - mean) / std).astype(clip.dtype)
 
 
@@ -387,26 +411,39 @@ def ssl_augment(
     chain (pixel-value precision ~0.5% — irrelevant for augmentation)."""
     keys = jax.random.split(key, 7)
     clip = clip.astype(compute_dtype)
+    t, c = clip.shape[0], clip.shape[-1]
+    # Fold stacked RGB groups into frames for the color ops (see
+    # ssl_augment_cf); Flow stacks skip the color ops entirely.
+    groups = c // 3 if (c != 3 and c % 3 == 0) else 1
+    if groups > 1:
+        clip = jnp.moveaxis(clip.reshape(*clip.shape[:-1], groups, 3), -2, 1)
+        clip = clip.reshape(t * groups, *clip.shape[2:])
     clip = random_resized_crop(keys[0], clip, out_hw, scale=rrc_scale)
-    jittered = color_jitter(keys[1], clip, order=jitter_order)
-    clip = jnp.where(jax.random.uniform(keys[2]) < jitter_p, jittered, clip)
-    clip = random_grayscale(keys[3], clip, p=gray_p)
+    if clip.shape[-1] == 3:
+        jittered = color_jitter(keys[1], clip, order=jitter_order)
+        clip = jnp.where(jax.random.uniform(keys[2]) < jitter_p, jittered,
+                         clip)
+        clip = random_grayscale(keys[3], clip, p=gray_p)
     blurred = gaussian_blur(keys[4], clip)
     clip = jnp.where(jax.random.uniform(keys[5]) < blur_p, blurred, clip)
     clip = random_horizontal_flip(keys[6], clip, p=flip_p)
+    if groups > 1:
+        h2, w2 = clip.shape[1], clip.shape[2]
+        clip = clip.reshape(t, groups, h2, w2, 3)
+        clip = jnp.moveaxis(clip, 1, -2).reshape(t, h2, w2, c)
     return normalize(clip, mean, std)
 
 
 def train_augment(
     key: jax.Array, clip: jnp.ndarray, out_hw: Tuple[int, int], mean, std,
-    scales=(1.0, 0.875, 0.75, 0.66), flip_p=0.5,
+    scales=(1.0, 0.875, 0.75, 0.66), flip_p=0.5, is_flow=False,
 ) -> jnp.ndarray:
     """Downstream train chain (reference: build_transform_cv2 train,
     transform/build.py:27-37): MultiScaleCrop → HFlip → Normalize."""
     k1, k2 = jax.random.split(key)
     clip = clip.astype(jnp.float32)
     clip = multi_scale_crop(k1, clip, out_hw, scales=scales)
-    clip = random_horizontal_flip(k2, clip, p=flip_p)
+    clip = random_horizontal_flip(k2, clip, p=flip_p, is_flow=is_flow)
     return normalize(clip, mean, std)
 
 
@@ -666,16 +703,28 @@ def ssl_augment_cf(
         jitter_perm_id = jax.random.randint(
             jax.random.fold_in(keys[1], 1), (), 0, len(_JITTER_PERMS))
     x = jnp.transpose(clip, (0, 3, 1, 2)).astype(compute_dtype)  # (T,C,H,W)
+    t, c = x.shape[0], x.shape[1]
+    # new_length>1 stacks groups along C.  RGB-group stacks (C=3g) fold the
+    # groups into the frame axis so the color ops see plain 3-channel frames
+    # with identical factors across the stack; Flow (C=2·nl) has no color
+    # semantics — jitter/grayscale become identity (the reference never
+    # SSL-pretrains Flow; its PIL jitter would crash on it).
+    groups = c // 3 if (c != 3 and c % 3 == 0) else 1
+    if groups > 1:
+        x = x.reshape(t * groups, 3, *x.shape[2:])
     x = _rrc_cf(keys[0], x, out_hw, scale=rrc_scale)
-    jittered = _color_jitter_cf(keys[1], x, jitter_perm_id,
-                                internal=compute_dtype)
-    x = jnp.where(jax.random.uniform(keys[2]) < jitter_p, jittered, x)
-    x = jnp.where(jax.random.uniform(keys[3]) < gray_p, _gray_cf(x), x)
+    if x.shape[1] == 3:
+        jittered = _color_jitter_cf(keys[1], x, jitter_perm_id,
+                                    internal=compute_dtype)
+        x = jnp.where(jax.random.uniform(keys[2]) < jitter_p, jittered, x)
+        x = jnp.where(jax.random.uniform(keys[3]) < gray_p, _gray_cf(x), x)
     blurred = _blur_cf(keys[4], x)
     x = jnp.where(jax.random.uniform(keys[5]) < blur_p, blurred, x)
     x = jnp.where(jax.random.uniform(keys[6]) < flip_p, x[..., ::-1], x)
-    m = jnp.asarray(mean, jnp.float32).reshape(1, 3, 1, 1) * 255.0
-    s = jnp.asarray(std, jnp.float32).reshape(1, 3, 1, 1) * 255.0
+    if groups > 1:
+        x = x.reshape(t, c, *x.shape[2:])
+    m = jnp.asarray(expand_stats(mean, c), jnp.float32).reshape(1, c, 1, 1) * 255.0
+    s = jnp.asarray(expand_stats(std, c), jnp.float32).reshape(1, c, 1, 1) * 255.0
     x = ((x - m) / s).astype(compute_dtype)
     return jnp.transpose(x, (0, 2, 3, 1))
 
@@ -732,7 +781,8 @@ def make_batch_augment_fn(cfg, kind: str):
 
     if kind == "train":
         per_clip = partial(train_augment, out_hw=out_hw, mean=mean, std=std,
-                           flip_p=flip_p)
+                           flip_p=flip_p,
+                           is_flow=(cfg.INPUT.MODALITY == "Flow"))
 
         def fn(key, clips):
             keys = jax.random.split(key, clips.shape[0])

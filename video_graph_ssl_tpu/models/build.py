@@ -72,6 +72,12 @@ def _lookup_backbone(name: str, backbone_type: str):
     return table[name]
 
 
+def _resolve_new_length(cfg) -> int:
+    """Reference default: 1 for RGB, 5 otherwise (model_wrappers.py:41-45)."""
+    nl = int(cfg.INPUT.NEW_LENGTH)
+    return nl if nl > 0 else (1 if cfg.INPUT.MODALITY == "RGB" else 5)
+
+
 def graph_cfg_from(cfg) -> Dict[str, Any]:
     """GRAPH section → TemporalGraphAug kwargs."""
     g = cfg.GRAPH
@@ -104,6 +110,8 @@ def encoder_cfg_from(cfg, aug_flag: bool,
         graph_cfg=graph_cfg_from(cfg) if aug_flag else None,
         remat=bool(cfg.TPU.REMAT),
         partial_bn=bool(partial_bn),
+        modality=cfg.INPUT.MODALITY,
+        new_length=_resolve_new_length(cfg),
         dtype=dtype,
     )
     return enc, feat_dim

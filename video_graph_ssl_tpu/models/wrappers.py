@@ -30,6 +30,21 @@ from .heads import PredictionMLP, ProjectHead, ProjectionMLP
 Dtype = Any
 
 
+def rgb_diff(x: jnp.ndarray, n_channels: int = 3) -> jnp.ndarray:
+    """RGBDiff: consecutive-frame differences over channel-stacked groups.
+
+    Input ``(..., C·(new_length+1))`` (the +1 frame loaded by the dataset,
+    reference dataset.py:47-48) → ``(..., C·new_length)`` of later-minus-
+    earlier group differences.  The reference's RGBDiff forward is missing
+    its ``_get_diff`` (model_wrappers.py never defines one — latent bug);
+    this implements the intended TSN semantics, applied after the on-device
+    normalization like TSN's input-tensor diff.
+    """
+    groups = x.reshape(x.shape[:-1] + (-1, n_channels))
+    d = groups[..., 1:, :] - groups[..., :-1, :]
+    return d.reshape(x.shape[:-1] + (-1,))
+
+
 class VisualEncoder(nn.Module):
     """Backbone + (2D) frame aggregation + feature dropout → (B, feat_dim).
 
@@ -46,10 +61,17 @@ class VisualEncoder(nn.Module):
     graph_cfg: Optional[Dict[str, Any]] = None
     remat: bool = False
     partial_bn: bool = False
+    # RGB | Flow | RGBDiff; with new_length the channel arithmetic is
+    # sample_len = (3 if RGB/RGBDiff else 2) · new_length
+    # (reference visual_wrappers.py:85, model_wrappers.py:73).
+    modality: str = "RGB"
+    new_length: int = 1
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.modality == "RGBDiff":
+            x = rgb_diff(x)
         backbone = self.backbone_ctor(
             num_classes=None,
             aug_points=self.aug_points,
