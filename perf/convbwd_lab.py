@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Conv-backward experiments on the chip.
+
+The fused MoCo step's backward runs at ~29 TFLOP/s vs 61 forward
+(NOTES_NEXT_ROUND.md).  This lab isolates single convolutions from the hot
+stages and times fwd / fwd+bwd for:
+
+  lax    — plain conv_general_dilated (XLA picks the grad algorithm)
+  taps   — custom VJP: dx as a transposed conv, dw as per-tap
+           dot_general contractions (explicit MXU matmuls with K = B*T*H*W)
+  +bn    — conv + BN + ReLU (locates epilogue backward cost)
+
+Run: python perf/convbwd_lab.py            (TPU chip)
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def make_conv(strides, pads):
+    import jax.lax as lax
+
+    def conv(x, w):
+        return lax.conv_general_dilated(
+            x, w, window_strides=strides,
+            padding=[(p, p) for p in pads], dimension_numbers=DN,
+            preferred_element_type=np.float32)
+    return conv
+
+
+def make_taps_conv(strides, pads):
+    """conv with custom VJP: dw = per-tap dot_general, dx = transposed conv."""
+    import jax
+    import jax.numpy as jnp
+    import jax.lax as lax
+
+    base = make_conv(strides, pads)
+
+    @jax.custom_vjp
+    def conv(x, w):
+        return base(x, w)
+
+    def fwd(x, w):
+        return base(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        kd, kh, kw, ci, co = w.shape
+        st, sh, sw = strides
+        pd, ph, pw = pads
+        # dx: dilate dy by the stride, correlate with the flipped kernel
+        w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+        dx = lax.conv_general_dilated(
+            dy, w_flip, window_strides=(1, 1, 1),
+            padding=[(kd - 1 - pd, kd - 1 - pd),
+                     (kh - 1 - ph, kh - 1 - ph),
+                     (kw - 1 - pw, kw - 1 - pw)],
+            lhs_dilation=strides, dimension_numbers=DN,
+            preferred_element_type=np.float32).astype(x.dtype)
+        # crop/pad dx to x's shape (stride-dilation can overshoot by s-1)
+        dx = dx[:, :x.shape[1], :x.shape[2], :x.shape[3], :]
+        # dw: one (Ci, Co) matmul per kernel tap, contracting B*T*H*W
+        xpad = jnp.pad(x, ((0, 0), (pd, pd), (ph, ph), (pw, pw), (0, 0)))
+        _, ot, oh, ow, _ = dy.shape
+        taps = []
+        for a in range(kd):
+            for b in range(kh):
+                for c in range(kw):
+                    xs = lax.slice(
+                        xpad, (0, a, b, c, 0),
+                        (x.shape[0], a + (ot - 1) * st + 1,
+                         b + (oh - 1) * sh + 1, c + (ow - 1) * sw + 1, ci),
+                        (1, st, sh, sw, 1))
+                    taps.append(lax.dot_general(
+                        xs, dy,
+                        (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ())),
+                        preferred_element_type=np.float32))
+        dw = jnp.stack(taps, 0).reshape(kd, kh, kw, ci, co)
+        return dx, dw.astype(w.dtype)
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
+def timeit(fn, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn()
+    float(out)  # value fetch = the only reliable sync over the axon relay
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    float(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    B = args.batch
+    bf16 = jnp.bfloat16
+    # (name, in(T,H,W,Ci), Co, kernel, strides, pads)
+    cases = [
+        ("stem0_sp 3>64", (16, 112, 112, 3), 64, (1, 7, 7), (1, 2, 2), (0, 3, 3)),
+        ("stem0_tm 64", (16, 56, 56, 64), 64, (7, 1, 1), (2, 1, 1), (3, 0, 0)),
+        ("stem3_sp 64>192", (16, 28, 28, 64), 192, (1, 3, 3), (1, 1, 1), (0, 1, 1)),
+        ("stem3_tm 192", (16, 28, 28, 192), 192, (3, 1, 1), (1, 1, 1), (1, 0, 0)),
+        ("m3b_sp 96>128", (16, 14, 14, 96), 128, (1, 3, 3), (1, 1, 1), (0, 1, 1)),
+        ("m3b_tm 128", (16, 14, 14, 128), 128, (3, 1, 1), (1, 1, 1), (1, 0, 0)),
+        ("m4c_sp 128>256", (8, 7, 7, 128), 256, (1, 3, 3), (1, 1, 1), (0, 1, 1)),
+    ]
+    g = np.random.default_rng(0)
+    REP = 8
+
+    for name, ishape, co, ks, st, pd in cases:
+        t, h, w_, ci = ishape
+        x = jnp.asarray(g.standard_normal((B, *ishape), np.float32), bf16)
+        w = jnp.asarray(g.standard_normal((*ks, ci, co), np.float32) * 0.05,
+                        bf16)
+        ot = (t + 2 * pd[0] - ks[0]) // st[0] + 1
+        oh = (h + 2 * pd[1] - ks[1]) // st[1] + 1
+        ow = (w_ + 2 * pd[2] - ks[2]) // st[2] + 1
+        flops = 2 * B * ot * oh * ow * np.prod(ks) * ci * co
+
+        results = {}
+        for label, mk in (("lax", make_conv), ("taps", make_taps_conv)):
+            cv = mk(st, pd)
+
+            def loss(xx, ww):
+                return jnp.sum(cv(xx, ww).astype(jnp.float32) ** 2)
+
+            @jax.jit
+            def fwd_fn(xx, ww):
+                def body(i, acc):
+                    return acc + loss(xx + i.astype(bf16) * 1e-6, ww)
+                return jax.lax.fori_loop(0, REP, body, 0.0)
+
+            @jax.jit
+            def fb_fn(xx, ww):
+                def body(i, acc):
+                    l, (gx, gw) = jax.value_and_grad(loss, (0, 1))(
+                        xx + i.astype(bf16) * 1e-6, ww)
+                    return (acc + l
+                            + jnp.sum(gx.astype(jnp.float32) ** 2)
+                            + jnp.sum(gw.astype(jnp.float32) ** 2))
+                return jax.lax.fori_loop(0, REP, body, 0.0)
+
+            # numerics check vs lax on first case evaluation
+            dt_f = timeit(lambda: fwd_fn(x, w)) / REP
+            dt_fb = timeit(lambda: fb_fn(x, w)) / REP
+            results[label] = (dt_f, dt_fb)
+
+        (lf, lfb), (tf_, tfb) = results["lax"], results["taps"]
+        print(f"{name:16s} lax  fwd {lf*1e3:6.2f}ms ({flops/lf/1e12:5.1f}T) "
+              f"f+b {lfb*1e3:6.2f}ms ({3*flops/lfb/1e12:5.1f}T) | "
+              f"taps f+b {tfb*1e3:6.2f}ms ({3*flops/tfb/1e12:5.1f}T) "
+              f"{'WIN' if tfb < lfb * 0.97 else ''}")
+
+
+if __name__ == "__main__":
+    main()

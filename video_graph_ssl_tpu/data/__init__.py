@@ -6,6 +6,8 @@ from .pipeline import Loader
 from .records import VideoRecord, parse_split
 from .synthetic import SyntheticContrastiveDataset, SyntheticFrameDataset
 from .transforms_device import make_batch_augment, make_batch_augment_fn
+from .shards import ShardStore, write_shard_store
+from .video_io import cache, load_video, video_info, write_video
 
 __all__ = [
     "build_video_contrastive_loader",
@@ -20,4 +22,10 @@ __all__ = [
     "SyntheticFrameDataset",
     "make_batch_augment",
     "make_batch_augment_fn",
+    "ShardStore",
+    "write_shard_store",
+    "cache",
+    "load_video",
+    "video_info",
+    "write_video",
 ]

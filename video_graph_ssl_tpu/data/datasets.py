@@ -19,6 +19,7 @@ import numpy as np
 from . import samplers
 from .decode import load_clip
 from .records import VideoRecord, parse_split
+from .shards import ShardStore
 
 
 @dataclass
@@ -51,9 +52,24 @@ class FrameDataset:
         self.video_list = parse_split(self.list_file)
         if self.modality == "RGBDiff":
             self.new_length += 1
+        # pre_load='shard': root_path is a shard-store dir (data/shards.py);
+        # frames come from mmapped pre-resized binaries, no JPEG decode.
+        self._store = (ShardStore(self.root_path)
+                       if self.pre_load == "shard" else None)
 
     def __len__(self) -> int:
         return len(self.video_list)
+
+    def _load(self, record: VideoRecord, indices) -> np.ndarray:
+        if self._store is not None:
+            return self._store.load_clip(record.path, indices,
+                                         new_length=self.new_length,
+                                         num_frames=record.num_frames)
+        directory = os.path.join(self.root_path, record.path)
+        return load_clip(directory, self.image_tmpl, indices,
+                         self.pre_load, self.canvas_hw, self.modality,
+                         new_length=self.new_length,
+                         num_frames=record.num_frames)
 
     def _indices(self, record: VideoRecord,
                  rng: Optional[np.random.Generator]) -> np.ndarray:
@@ -81,11 +97,7 @@ class FrameDataset:
                     rng: Optional[np.random.Generator] = None):
         record = self.video_list[index]
         indices = self._indices(record, rng)
-        directory = os.path.join(self.root_path, record.path)
-        clip = load_clip(directory, self.image_tmpl, indices,
-                         self.pre_load, self.canvas_hw, self.modality,
-                         new_length=self.new_length,
-                         num_frames=record.num_frames)
+        clip = self._load(record, indices)
         if self.test_mode and self.num_clips > 0:
             clip = clip.reshape((self.num_clips, self.video_length)
                                 + clip.shape[1:])
@@ -126,9 +138,22 @@ class ContrastiveDataset:
             # +1 frame per segment, differenced on device
             # (reference dataset.py:47-48)
             self.new_length += 1
+        self._store = (ShardStore(self.root_path)
+                       if self.pre_load == "shard" else None)
 
     def __len__(self) -> int:
         return len(self.video_list)
+
+    def _load(self, record: VideoRecord, indices) -> np.ndarray:
+        if self._store is not None:
+            return self._store.load_clip(record.path, indices,
+                                         new_length=self.new_length,
+                                         num_frames=record.num_frames)
+        directory = os.path.join(self.root_path, record.path)
+        return load_clip(directory, self.image_tmpl, indices,
+                         self.pre_load, self.canvas_hw, self.modality,
+                         new_length=self.new_length,
+                         num_frames=record.num_frames)
 
     def _one_view(self, record: VideoRecord,
                   rng: Optional[np.random.Generator]) -> np.ndarray:
@@ -145,21 +170,14 @@ class ContrastiveDataset:
     def __getitem__(self, index: int,
                     rng: Optional[np.random.Generator] = None):
         record = self.video_list[index]
-        directory = os.path.join(self.root_path, record.path)
         idx1 = self._one_view(record, rng)
         if self.temporal_jitter:
             idx2 = self._one_view(record, rng)
         else:
             idx2 = idx1
-        v1 = load_clip(directory, self.image_tmpl, idx1, self.pre_load,
-                       self.canvas_hw, self.modality,
-                       new_length=self.new_length,
-                       num_frames=record.num_frames)
+        v1 = self._load(record, idx1)
         if self.two_views:
-            v2 = load_clip(directory, self.image_tmpl, idx2, self.pre_load,
-                           self.canvas_hw, self.modality,
-                           new_length=self.new_length,
-                           num_frames=record.num_frames)
+            v2 = self._load(record, idx2)
             clips = np.stack([v1, v2], axis=0)
         else:
             clips = v1[None]
