@@ -56,6 +56,7 @@ def make_taps_conv(strides, pads):
 
     def bwd(res, dy):
         x, w = res
+        dy = dy.astype(x.dtype)
         kd, kh, kw, ci, co = w.shape
         st, sh, sw = strides
         pd, ph, pw = pads

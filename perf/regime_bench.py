@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Throughput across training regimes on the chip (VERDICT r1 item 3).
+
+Measures the fused pretrain step for:
+  moco            — bench.py's headline config
+  simsiam         — two encoder passes with grads
+  bank            — memory-bank NCE regime
+  moco+graph      — MODEL.AUG_FLAG=True, XLA graph path
+  moco+graph-pal  — MODEL.AUG_FLAG=True, GRAPH.USE_PALLAS=True
+
+Same honest timing as bench.py (value-fetch sync).  Prints one line per
+regime; results are recorded in NOTES_NEXT_ROUND.md / README.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(overrides, batch_size=128, iters=20):
+    import jax
+
+    from video_graph_ssl_tpu.config import cfg as CFG
+    from video_graph_ssl_tpu.engine import (create_pretrain_state,
+                                            make_fused_pretrain_step)
+    from video_graph_ssl_tpu.models import create_visual_model
+    from video_graph_ssl_tpu.parallel import (make_mesh, replicate_state,
+                                              shard_batch)
+
+    cfg = CFG.clone()
+    cfg.merge_from_file("configs/visual_moco.yaml")
+    cfg.DATASET.SOURCE = "synthetic"
+    if overrides:
+        cfg.merge_from_list(overrides)
+
+    t = int(cfg.INPUT.VIDEO_LENGTH)
+    canvas = (int(cfg.INPUT.SCALE_SIZE[0]), int(cfg.INPUT.SCALE_SIZE[1]))
+    mesh = make_mesh((-1,), ("data",))
+    model, _ = create_visual_model(cfg)
+    example = np.zeros(
+        (2, t, int(cfg.INPUT.BASE_SIZE[0]), int(cfg.INPUT.BASE_SIZE[1]), 3),
+        np.float32)
+    state, tx = create_pretrain_state(cfg, model, example, n_data=1000)
+    state = replicate_state(state, mesh)
+    step = jax.jit(make_fused_pretrain_step(cfg, model, tx, n_data=1000),
+                   donate_argnums=0)
+
+    g = np.random.default_rng(0)
+    batch = {
+        "clips": g.integers(0, 256, (batch_size, 2, t, *canvas, 3),
+                            dtype=np.uint8),
+        "label": np.zeros(batch_size, np.int32),
+        "index": np.arange(batch_size, dtype=np.int32),
+    }
+    batch = shard_batch(batch, mesh)
+
+    for _ in range(3):
+        state, metrics = step(state, batch, 0.06)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, 0.06)
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    del state, step
+    return dt, batch_size / dt
+
+
+REGIMES = {
+    "moco": [],
+    "simsiam": ["CONTRAST.MEM_TYPE", "simsiam"],
+    "bank": ["CONTRAST.MEM_TYPE", "bank"],
+    "moco+graph": ["MODEL.AUG_FLAG", "True"],
+    "moco+graph-pal": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "True"],
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--regimes", nargs="*", default=list(REGIMES))
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    for name in args.regimes:
+        try:
+            dt, cps = measure(REGIMES[name], args.batch, args.iters)
+            print(f"{name:15s} {dt*1e3:7.2f} ms/step  {cps:8.1f} clips/s",
+                  flush=True)
+        except Exception as e:  # keep the sweep alive past one bad regime
+            print(f"{name:15s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
