@@ -34,8 +34,7 @@ def make_conv(strides, pads):
     def conv(x, w):
         return lax.conv_general_dilated(
             x, w, window_strides=strides,
-            padding=[(p, p) for p in pads], dimension_numbers=DN,
-            preferred_element_type=np.float32)
+            padding=[(p, p) for p in pads], dimension_numbers=DN)
     return conv
 
 
@@ -67,8 +66,7 @@ def make_taps_conv(strides, pads):
             padding=[(kd - 1 - pd, kd - 1 - pd),
                      (kh - 1 - ph, kh - 1 - ph),
                      (kw - 1 - pw, kw - 1 - pw)],
-            lhs_dilation=strides, dimension_numbers=DN,
-            preferred_element_type=np.float32).astype(x.dtype)
+            lhs_dilation=strides, dimension_numbers=DN).astype(x.dtype)
         # crop/pad dx to x's shape (stride-dilation can overshoot by s-1)
         dx = dx[:, :x.shape[1], :x.shape[2], :x.shape[3], :]
         # dw: one (Ci, Co) matmul per kernel tap, contracting B*T*H*W
@@ -88,6 +86,52 @@ def make_taps_conv(strides, pads):
                         (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ())),
                         preferred_element_type=np.float32))
         dw = jnp.stack(taps, 0).reshape(kd, kh, kw, ci, co)
+        return dx, dw.astype(w.dtype)
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
+def make_im2col_conv(strides, pads):
+    """conv with custom VJP: dw via one im2col matmul (patches x dy),
+    dx via the standard transposed conv.  Targets tiny-Ci stems where
+    XLA's dw-as-conv (56x56 'kernel') underutilizes the MXU."""
+    import jax
+    import jax.numpy as jnp
+    import jax.lax as lax
+
+    base = make_conv(strides, pads)
+
+    @jax.custom_vjp
+    def conv(x, w):
+        return base(x, w)
+
+    def fwd(x, w):
+        return base(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        dy = dy.astype(x.dtype)
+        kd, kh, kw, ci, co = w.shape
+        # dx: standard transposed conv (same as XLA would emit)
+        w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+        pd, ph, pw = pads
+        dx = lax.conv_general_dilated(
+            dy, w_flip, window_strides=(1, 1, 1),
+            padding=[(kd - 1 - pd, kd - 1 - pd),
+                     (kh - 1 - ph, kh - 1 - ph),
+                     (kw - 1 - pw, kw - 1 - pw)],
+            lhs_dilation=strides, dimension_numbers=DN).astype(x.dtype)
+        dx = dx[:, :x.shape[1], :x.shape[2], :x.shape[3], :]
+        # dw: im2col patches (B,OT,OH,OW, kd*kh*kw*ci) x dy -> one matmul
+        patches = lax.conv_general_dilated_patches(
+            x, (kd, kh, kw), strides, [(p, p) for p in pads],
+            dimension_numbers=DN)
+        dw = lax.dot_general(
+            patches, dy, (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ())),
+            preferred_element_type=np.float32)
+        # patches feature order is Ci-major, tap-minor: (ci, kd, kh, kw)
+        dw = dw.reshape(ci, kd, kh, kw, co).transpose(1, 2, 3, 0, 4)
         return dx, dw.astype(w.dtype)
 
     conv.defvjp(fwd, bwd)
@@ -138,8 +182,22 @@ def main():
         ow = (w_ + 2 * pd[2] - ks[2]) // st[2] + 1
         flops = 2 * B * ot * oh * ow * np.prod(ks) * ci * co
 
+        # numerics: im2col dw must match lax dw (checks patch feature order)
+        if name == cases[0][0]:
+            xs = jnp.asarray(g.standard_normal((2, 4, 16, 16, ci)), bf16)
+            for mk in (make_taps_conv, make_im2col_conv):
+                ref_g = jax.grad(
+                    lambda ww: jnp.sum(make_conv(st, pd)(xs, ww)
+                                       .astype(jnp.float32) ** 2))(w)
+                new_g = jax.grad(
+                    lambda ww: jnp.sum(mk(st, pd)(xs, ww)
+                                       .astype(jnp.float32) ** 2))(w)
+                err = float(jnp.max(jnp.abs(ref_g - new_g))
+                            / (jnp.max(jnp.abs(ref_g)) + 1e-9))
+                assert err < 2e-2, (mk.__name__, err)
+
         results = {}
-        for label, mk in (("lax", make_conv), ("taps", make_taps_conv)):
+        for label, mk in (("lax", make_conv), ("im2col", make_im2col_conv)):
             cv = mk(st, pd)
 
             def loss(xx, ww):
@@ -161,16 +219,26 @@ def main():
                             + jnp.sum(gw.astype(jnp.float32) ** 2))
                 return jax.lax.fori_loop(0, REP, body, 0.0)
 
-            # numerics check vs lax on first case evaluation
+            @jax.jit
+            def fw_fn(xx, ww):
+                # grad w.r.t. w ONLY — the realistic stem cost (the input
+                # needs no gradient in the real model)
+                def body(i, acc):
+                    l, gw = jax.value_and_grad(loss, 1)(
+                        xx + i.astype(bf16) * 1e-6, ww)
+                    return acc + l + jnp.sum(gw.astype(jnp.float32) ** 2)
+                return jax.lax.fori_loop(0, REP, body, 0.0)
+
             dt_f = timeit(lambda: fwd_fn(x, w)) / REP
             dt_fb = timeit(lambda: fb_fn(x, w)) / REP
-            results[label] = (dt_f, dt_fb)
+            dt_fw = timeit(lambda: fw_fn(x, w)) / REP
+            results[label] = (dt_f, dt_fb, dt_fw)
 
-        (lf, lfb), (tf_, tfb) = results["lax"], results["taps"]
-        print(f"{name:16s} lax  fwd {lf*1e3:6.2f}ms ({flops/lf/1e12:5.1f}T) "
-              f"f+b {lfb*1e3:6.2f}ms ({3*flops/lfb/1e12:5.1f}T) | "
-              f"taps f+b {tfb*1e3:6.2f}ms ({3*flops/tfb/1e12:5.1f}T) "
-              f"{'WIN' if tfb < lfb * 0.97 else ''}")
+        (lf, lfb, lfw), (_, ifb, ifw) = results["lax"], results["im2col"]
+        print(f"{name:16s} lax fwd {lf*1e3:6.2f} ({flops/lf/1e12:5.1f}T) "
+              f"f+b {lfb*1e3:6.2f} f+dw {lfw*1e3:6.2f} | "
+              f"im2col f+b {ifb*1e3:6.2f} f+dw {ifw*1e3:6.2f} "
+              f"{'WIN' if min(ifb, ifw) < min(lfb, lfw) * 0.97 else ''}")
 
 
 if __name__ == "__main__":

@@ -44,9 +44,11 @@ def measure(overrides, batch_size=128, iters=20):
     canvas = (int(cfg.INPUT.SCALE_SIZE[0]), int(cfg.INPUT.SCALE_SIZE[1]))
     mesh = make_mesh((-1,), ("data",))
     model, _ = create_visual_model(cfg)
-    example = np.zeros(
-        (2, t, int(cfg.INPUT.BASE_SIZE[0]), int(cfg.INPUT.BASE_SIZE[1]), 3),
-        np.float32)
+    base = (int(cfg.INPUT.BASE_SIZE[0]), int(cfg.INPUT.BASE_SIZE[1]))
+    # simsiam consumes both views inside the model: (B, V, T, H, W, C)
+    eshape = ((2, 2, t, *base, 3) if cfg.CONTRAST.MEM_TYPE == "simsiam"
+              else (2, t, *base, 3))
+    example = np.zeros(eshape, np.float32)
     state, tx = create_pretrain_state(cfg, model, example, n_data=1000)
     state = replicate_state(state, mesh)
     step = jax.jit(make_fused_pretrain_step(cfg, model, tx, n_data=1000),

@@ -128,3 +128,45 @@ def test_resume_is_bit_exact(tiny_cfg, tmp_path):
     np.testing.assert_array_equal(np.asarray(state_a.contrast.queue),
                                   np.asarray(state_b.contrast.queue))
     assert int(state_a.contrast.ptr) == int(state_b.contrast.ptr)
+
+
+def test_orbax_roundtrip(tiny_cfg, tmp_path):
+    """Orbax sharded backend: save -> restore (with template shardings) ->
+    bit-equality; async save commits on wait; load_params_only reads the
+    same raw tree for checkpoint surgery."""
+    from video_graph_ssl_tpu.utils import (
+        load_checkpoint_any,
+        save_checkpoint_orbax,
+        wait_for_async_checkpoints,
+    )
+
+    c = tiny_cfg.clone()
+    c.CONTRAST.MEM_TYPE = "moco"
+    model, _ = create_visual_model(c)
+    x = jnp.zeros((2, 4, 16, 16, 3), jnp.float32)
+    state, tx = create_pretrain_state(c, model, x, n_data=16)
+
+    path = str(tmp_path / "ckpt.orbax")
+    save_checkpoint_orbax(path, state, epoch=3, best_pred=0.25)
+    restored, meta = load_checkpoint_any(path, state)
+    assert meta["epoch"] == 3 and meta["best_pred"] == 0.25
+    _tree_allclose(state.params, restored.params)
+    _tree_allclose(state.ema_params, restored.ema_params)
+    np.testing.assert_allclose(np.asarray(state.contrast.queue),
+                               np.asarray(restored.contrast.queue))
+    jax.random.fold_in(restored.rng, 0)
+
+    # raw read (surgery path) sees the same encoder params
+    raw, meta2 = load_params_only(path)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(raw["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(
+            jax.device_get(state.params))[0]))
+
+    # async save: must be committed after the barrier
+    apath = str(tmp_path / "ckpt_async.orbax")
+    save_checkpoint_orbax(apath, state, epoch=4, async_save=True)
+    wait_for_async_checkpoints()
+    restored2, meta3 = load_checkpoint_any(apath, state)
+    assert meta3["epoch"] == 4
+    _tree_allclose(state.params, restored2.params)

@@ -31,7 +31,7 @@ from video_graph_ssl_tpu.data.transforms_device import multi_crop_eval
 from video_graph_ssl_tpu.engine import create_downstream_state
 from video_graph_ssl_tpu.models import create_video_model
 from video_graph_ssl_tpu.parallel import mesh_from_cfg, pad_batch_to_multiple
-from video_graph_ssl_tpu.utils import accuracy, load_checkpoint_state
+from video_graph_ssl_tpu.utils import accuracy, load_checkpoint_any
 
 
 def get_parser():
@@ -85,7 +85,7 @@ def main_work():
     t = int(cfg.INPUT.VIDEO_LENGTH)
     example = np.zeros((2, t, base[0], base[1], 3), np.float32)
     state, _tx = create_downstream_state(cfg, model, example)
-    state, meta = load_checkpoint_state(args.checkpoint, state)
+    state, meta = load_checkpoint_any(args.checkpoint, state)
     print(f"=> loaded checkpoint '{args.checkpoint}' (epoch {meta.get('epoch')})")
 
     loader = make_test_loader(cfg, num_clips=args.test_clips)

@@ -100,7 +100,7 @@ class Trainer:
         path = self.args.ssl_checkpoint or self.cfg.MODEL.PRETRAIN_PATH
         if not path or path in ("none", "/"):
             return
-        if not os.path.isfile(path):
+        if not os.path.exists(path):
             raise RuntimeError(f"=> no SSL checkpoint found at '{path}'")
         ssl_sd, meta = load_params_only(path)
         new_params, new_stats = transfer_encoder_params(

@@ -45,7 +45,7 @@ from video_graph_ssl_tpu.solver import make_lr_scheduler
 from video_graph_ssl_tpu.utils import (
     AverageMeter,
     creat_saver,
-    load_checkpoint_state,
+    load_checkpoint_any,
 )
 
 
@@ -121,9 +121,9 @@ class Trainer:
     def _resume(self):
         path = self.cfg.CHECKPOINT.RESUME
         if path and path != "none":
-            if not os.path.isfile(path):
+            if not os.path.exists(path):
                 raise RuntimeError(f"=> no checkpoint found at '{path}'")
-            self.state, meta = load_checkpoint_state(path, self.state)
+            self.state, meta = load_checkpoint_any(path, self.state)
             self.state = replicate_state(self.state, self.mesh)
             if not self.cfg.CHECKPOINT.FINETUNE:
                 self.start_epoch = int(meta.get("epoch", 0))
@@ -193,6 +193,8 @@ class Trainer:
             self.train(epoch)
             if self.args.max_steps:
                 break
+        from video_graph_ssl_tpu.utils import wait_for_async_checkpoints
+        wait_for_async_checkpoints()  # commit in-flight orbax saves
         self.writer.close()
 
 

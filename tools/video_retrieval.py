@@ -33,7 +33,7 @@ from video_graph_ssl_tpu.data.transforms_device import multi_crop_eval
 from video_graph_ssl_tpu.engine import create_pretrain_state
 from video_graph_ssl_tpu.models import create_visual_model
 from video_graph_ssl_tpu.parallel import mesh_from_cfg, pad_batch_to_multiple
-from video_graph_ssl_tpu.utils import load_checkpoint_state
+from video_graph_ssl_tpu.utils import load_checkpoint_any
 
 TOPK = (1, 5, 10, 20, 50)
 
@@ -167,7 +167,7 @@ def main_worker():
         example = np.zeros(shape, np.float32)
         state, _tx = create_pretrain_state(cfg, model, example, n_data=1)
         if args.checkpoint:
-            state, meta = load_checkpoint_state(args.checkpoint, state)
+            state, meta = load_checkpoint_any(args.checkpoint, state)
             print(f"=> loaded '{args.checkpoint}' (epoch {meta.get('epoch')})")
         extract_split(cfg, args, model, state, "train")
         extract_split(cfg, args, model, state, "val")

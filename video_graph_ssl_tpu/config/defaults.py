@@ -176,5 +176,7 @@ _C.TPU.SYNC_BN = True                    # cross-replica batch stats (psum)
 _C.TPU.SHUFFLE_BN = False                # ppermute-based ShuffleBN for MoCo keys
 _C.TPU.REMAT = False                     # jax.checkpoint the backbone stages
 _C.TPU.PREFETCH = 2                      # host->device pipeline depth
+_C.TPU.CKPT_BACKEND = "msgpack"          # msgpack (1 file) | orbax (sharded)
+_C.TPU.ASYNC_CKPT = False                # orbax only: commit in background
 
 cfg = _C

@@ -7,10 +7,14 @@ creat_saver) plus the functional checkpoint API.  Note: the reference's
 """
 
 from .checkpoint import (
+    load_checkpoint_any,
+    load_checkpoint_orbax,
     load_checkpoint_state,
     load_params_only,
+    save_checkpoint_orbax,
     save_checkpoint_state,
     transfer_encoder_params,
+    wait_for_async_checkpoints,
 )
 from .inflate import inflate_first_conv
 from .meters import AverageMeter, accuracy, average_precision, mean_average_precision
@@ -28,6 +32,10 @@ __all__ = [
     "mean_average_precision",
     "save_checkpoint_state",
     "load_checkpoint_state",
+    "save_checkpoint_orbax",
+    "load_checkpoint_orbax",
+    "load_checkpoint_any",
+    "wait_for_async_checkpoints",
     "load_params_only",
     "transfer_encoder_params",
 ]

@@ -70,10 +70,108 @@ def load_checkpoint_state(path: str, state_template):
     return state, payload["meta"]
 
 
+# --------------------------------------------------------------------------- #
+# Orbax backend: sharded (per-host) + optionally async checkpointing.
+#
+# TPU-native alternative to the single-file msgpack path for multi-host
+# meshes: every process writes only the array shards it owns (tensorstore),
+# and restore lays shards out directly onto the template's sharding. The
+# reference's torch.save-on-rank-0 (lib/utils/saver.py:20-43) has no
+# equivalent scale-out story. Select with TPU.CKPT_BACKEND = 'orbax'.
+# --------------------------------------------------------------------------- #
+
+_ASYNC_CKPTRS: list = []
+
+
+def _unwrap_keys(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.random.key_data(x) if _is_key(x) else x, tree)
+
+
+def save_checkpoint_orbax(path: str, state, epoch: int,
+                          best_pred: float = 0.0,
+                          extra: Optional[Dict[str, Any]] = None,
+                          async_save: bool = False) -> None:
+    """Write the TrainState to the ``path`` directory via orbax.
+
+    ``async_save=True`` returns immediately and commits in the background
+    (call :func:`wait_for_async_checkpoints` before exiting); arrays are
+    snapshotted at call time so training can continue into the next step.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    payload = serialization.to_state_dict(_unwrap_keys(state))
+    if async_save:
+        # at most one save in flight: drain earlier ones first, and make
+        # sure in-flight saves commit before interpreter teardown kills the
+        # executor threads (leaving an .orbax-checkpoint-tmp behind)
+        import atexit
+        wait_for_async_checkpoints()
+        atexit.register(wait_for_async_checkpoints)
+        ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        _ASYNC_CKPTRS.append(ckptr)
+    else:
+        ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+    meta = {"epoch": int(epoch), "best_pred": float(best_pred),
+            **(extra or {})}
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def wait_for_async_checkpoints() -> None:
+    """Block until every in-flight async orbax save has committed."""
+    while _ASYNC_CKPTRS:
+        _ASYNC_CKPTRS.pop().wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, state_template):
+    """Restore an orbax checkpoint into a template TrainState.
+
+    Each leaf is restored with the template's shape/dtype/sharding, so a
+    checkpoint written on one mesh reloads onto another (e.g. resume a
+    v5e-8 run on v5e-16) — re-sharding happens inside tensorstore reads.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    raw_template = serialization.to_state_dict(_unwrap_keys(state_template))
+
+    def abstract(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    target = jax.tree_util.tree_map(abstract, raw_template)
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    restored = ckptr.restore(path, args=ocp.args.StandardRestore(target))
+    state = serialization.from_state_dict(state_template, restored)
+    state = _rewrap_keys(state_template, state)
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    return state, meta
+
+
+def load_checkpoint_any(path: str, state_template):
+    """Dispatch restore on checkpoint kind: orbax dirs vs msgpack files."""
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path, state_template)
+    return load_checkpoint_state(path, state_template)
+
+
 def load_params_only(path: str):
     """Raw nested dict of a checkpoint (for checkpoint surgery: loading SSL
     encoders into downstream models skipping heads,
-    reference: tools/train_ds.py:70-79, video_retrieval.py:24-53)."""
+    reference: tools/train_ds.py:70-79, video_retrieval.py:24-53).
+    Accepts both msgpack files and orbax directories."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+        state = ckptr.restore(os.path.abspath(path))
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+        return state, meta
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     return payload["state"], payload["meta"]

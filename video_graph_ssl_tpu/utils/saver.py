@@ -35,11 +35,22 @@ class Saver:
                         extra: Optional[Dict[str, Any]] = None) -> str:
         """Write checkpoint; on ``is_best`` record best_pred and promote to
         model_best when it beats every sibling experiment
-        (reference: saver.py:20-43)."""
-        from .checkpoint import save_checkpoint_state
+        (reference: saver.py:20-43).
 
-        path = self.checkpoint_path(filename)
-        save_checkpoint_state(path, state, epoch, best_pred, extra)
+        TPU.CKPT_BACKEND selects msgpack (single file) or orbax (sharded
+        per-host tensorstore dir, optionally async via TPU.ASYNC_CKPT)."""
+        from .checkpoint import save_checkpoint_orbax, save_checkpoint_state
+
+        backend = str(getattr(self.cfg.TPU, "CKPT_BACKEND", "msgpack"))
+        if backend == "orbax":
+            filename = filename.replace(".msgpack", ".orbax")
+            path = self.checkpoint_path(filename)
+            save_checkpoint_orbax(
+                path, state, epoch, best_pred, extra,
+                async_save=bool(getattr(self.cfg.TPU, "ASYNC_CKPT", False)))
+        else:
+            path = self.checkpoint_path(filename)
+            save_checkpoint_state(path, state, epoch, best_pred, extra)
         if is_best:
             with open(self.checkpoint_path("best_pred.txt"), "w") as f:
                 f.write(str(best_pred))
@@ -54,8 +65,18 @@ class Saver:
                         except ValueError:
                             pass
             if not previous or best_pred > max(previous):
-                shutil.copyfile(
-                    path, os.path.join(self.directory, "model_best.msgpack"))
+                if os.path.isdir(path):  # orbax checkpoints are directories
+                    dst = os.path.join(self.directory, "model_best.orbax")
+                    from .checkpoint import wait_for_async_checkpoints
+                    wait_for_async_checkpoints()
+                    if os.path.isdir(dst):
+                        shutil.rmtree(dst)
+                    shutil.copytree(path, dst)
+                    shutil.copyfile(path + ".meta.json", dst + ".meta.json")
+                else:
+                    shutil.copyfile(
+                        path,
+                        os.path.join(self.directory, "model_best.msgpack"))
         return path
 
     def save_experiment_config(self) -> None:
