@@ -162,7 +162,12 @@ _C.GRAPH.SUB_SAMPLE = True
 _C.GRAPH.MAX_POOL = True
 _C.GRAPH.BN_LAYER = False
 _C.GRAPH.SAMPLER = "relaxed_bernoulli"   # relaxed_bernoulli | gaussian | none
-_C.GRAPH.USE_PALLAS = False              # fused Pallas kernel for the graph block
+# Fused Pallas adjacency kernel (ops/pallas/graph_kernel.py). Measured on
+# v5e (bs=128, S3D aug points): beats the XLA path at every aug shape
+# (e.g. idx5 fwd 4.29 vs 4.85 ms, f+b 4.35 vs 4.88 ms) and in the full
+# fused MoCo+graph step (116.9 vs 117.5 ms). Auto-falls back to XLA on
+# non-TPU platforms and non-relaxed_bernoulli samplers.
+_C.GRAPH.USE_PALLAS = True
 
 # ---------------------------------------------------------------------------- #
 # TPU-native runtime knobs (no reference counterpart)
