@@ -152,6 +152,8 @@ def timeit(fn, iters=10, warmup=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="substring filters on case names")
     args = ap.parse_args()
 
     import jax
@@ -173,6 +175,8 @@ def main():
     REP = 8
 
     for name, ishape, co, ks, st, pd in cases:
+        if args.only and not any(o in name for o in args.only):
+            continue
         t, h, w_, ci = ishape
         x = jnp.asarray(g.standard_normal((B, *ishape), np.float32), bf16)
         w = jnp.asarray(g.standard_normal((*ks, ci, co), np.float32) * 0.05,
@@ -185,16 +189,18 @@ def main():
         # numerics: im2col dw must match lax dw (checks patch feature order)
         if name == cases[0][0]:
             xs = jnp.asarray(g.standard_normal((2, 4, 16, 16, ci)), bf16)
-            for mk in (make_taps_conv, make_im2col_conv):
-                ref_g = jax.grad(
-                    lambda ww: jnp.sum(make_conv(st, pd)(xs, ww)
-                                       .astype(jnp.float32) ** 2))(w)
-                new_g = jax.grad(
+            ref_g = jax.jit(jax.grad(
+                lambda ww: jnp.sum(make_conv(st, pd)(xs, ww)
+                                   .astype(jnp.float32) ** 2)))(w)
+            for mk in (make_im2col_conv,):
+                new_g = jax.jit(jax.grad(
                     lambda ww: jnp.sum(mk(st, pd)(xs, ww)
-                                       .astype(jnp.float32) ** 2))(w)
+                                       .astype(jnp.float32) ** 2)))(w)
                 err = float(jnp.max(jnp.abs(ref_g - new_g))
                             / (jnp.max(jnp.abs(ref_g)) + 1e-9))
                 assert err < 2e-2, (mk.__name__, err)
+                print(f"numerics ok ({mk.__name__} rel err {err:.2e})",
+                      flush=True)
 
         results = {}
         for label, mk in (("lax", make_conv), ("im2col", make_im2col_conv)):

@@ -98,11 +98,15 @@ def main():
 
         @jax.jit
         def fwdbwd(p, xx):
+            # grads wrt params AND input: the full backward work of the
+            # stage inside the model's chain (dx feeds the stage below)
             def body(i, acc):
-                l, gp = jax.value_and_grad(one)(p, xx + i.astype(bf16) * 1e-6)
-                return acc + l + jax.tree.reduce(
-                    lambda a, v: a + jnp.sum(v.astype(jnp.float32) ** 2),
-                    gp, 0.0)
+                l, (gp, gx) = jax.value_and_grad(one, (0, 1))(
+                    p, xx + i.astype(bf16) * 1e-6)
+                return acc + l + jnp.sum(gx.astype(jnp.float32) ** 2) \
+                    + jax.tree.reduce(
+                        lambda a, v: a + jnp.sum(v.astype(jnp.float32) ** 2),
+                        gp, 0.0)
             return jax.lax.fori_loop(0, REP, body, 0.0)
 
         dt_f = timeit(lambda: fwd(params, x), lambda o: float(o)) / REP

@@ -19,8 +19,10 @@ Design notes (vs the reference, lib/modeling/backbone/backbone_3d/s3d_1.py):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -34,13 +36,66 @@ def _triple(v) -> Tuple[int, int, int]:
     return (v, v, v)
 
 
-def max_pool_3d(x: jnp.ndarray, kernel_size, stride, padding=0) -> jnp.ndarray:
-    """3D max pooling on (B, T, H, W, C), PyTorch padding semantics."""
+def max_pool_3d_ref(x: jnp.ndarray, kernel_size, stride,
+                    padding=0) -> jnp.ndarray:
+    """3D max pooling via lax reduce_window (XLA default gradient:
+    SelectAndScatter — slow on TPU; see max_pool_3d)."""
     k = _triple(kernel_size)
     s = _triple(stride)
     p = _triple(padding)
     pads = [(pi, pi) for pi in p]
     return nn.max_pool(x, window_shape=k, strides=s, padding=pads)
+
+
+def max_pool_3d(x: jnp.ndarray, kernel_size, stride, padding=0) -> jnp.ndarray:
+    """3D max pooling on (B, T, H, W, C), PyTorch padding semantics.
+
+    Stride-1 pools on TPU dispatch to a fused Pallas kernel
+    (ops/pallas/maxpool_kernel.py): XLA's reduce_window forward +
+    SelectAndScatter gradient cost ~18 ms fwd+bwd for ONE pool at
+    (128,16,14,14,256) on v5e — and every S3D/I3D inception block carries
+    a 3x3x3 s1 pool branch, making it the dominant backward cost of the
+    block.  The kernel does each direction in one pass over HBM with all
+    27 shifted reads in VMEM.  Strided pools (the four inter-stage pools)
+    keep the XLA lowering.  Gradient ties: the kernel splits the gradient
+    among all argmaxes (valid subgradient; SelectAndScatter picks one)."""
+    # Stride-1 pools (every S3D/I3D inception block carries one) avoid
+    # lax.reduce_window: XLA lowers its gradient to SelectAndScatter,
+    # profiled at 26 ms/step across S3D's 11 pool branches
+    # (perf/profile_step.py).  A separable chain of shifted-slice
+    # jnp.maximum ops has the identical forward, and JAX differentiates
+    # it into elementwise selects that fuse with neighbors and follow
+    # whatever layout XLA picked (the activations here are batch-minor —
+    # a Pallas kernel would force 4 layout transposes per pool; see
+    # ops/pallas/maxpool_kernel.py for that measured dead end).
+    # Gradient ties: maximum splits between tied operands (valid
+    # subgradient; SelectAndScatter picks one arbitrary position).
+    # Strided pools keep reduce_window (strided-slice backward pads are
+    # catastrophic: 101 ms at the stem pool, perf/maxpool_lab.py).
+    s = _triple(stride)
+    if s == (1, 1, 1):
+        k = _triple(kernel_size)
+        p = _triple(padding)
+        neg = (jnp.finfo(x.dtype).min
+               if jnp.issubdtype(x.dtype, jnp.floating)
+               else jnp.iinfo(x.dtype).min)
+        y = x
+        for axis, (ki, pi) in enumerate(zip(k, p), start=1):
+            if ki == 1 and pi == 0:
+                continue
+            pad5 = [(0, 0)] * y.ndim
+            pad5[axis] = (pi, pi)
+            yp = jnp.pad(y, pad5, constant_values=neg)
+            n = y.shape[axis]
+            acc = None
+            for a in range(ki):
+                sl = [slice(None)] * y.ndim
+                sl[axis] = slice(a, a + n - ki + 1 + 2 * pi)
+                part = yp[tuple(sl)]
+                acc = part if acc is None else jnp.maximum(acc, part)
+            y = acc
+        return y
+    return max_pool_3d_ref(x, kernel_size, stride, padding)
 
 
 def avg_pool_3d(x: jnp.ndarray, kernel_size, stride, padding=0) -> jnp.ndarray:
@@ -102,11 +157,17 @@ class ConvBN(nn.Module):
         # bn_frozen: partial-BN — use running stats even in training
         # (reference: VideoModelWrapper.train() override,
         # model_wrappers.py:130-146); affine params still receive grads.
+        # dtype=self.dtype keeps the normalize/affine pass (and its
+        # backward) in bf16 — flax always computes the mean/var reductions
+        # and running stats in float32 regardless (normalization.py
+        # force_float32_reductions), so stability matches the fp32-BN
+        # convention while halving the elementwise HBM traffic, which
+        # dominates the big early-stage activations in the backward.
         x = nn.BatchNorm(
             use_running_average=(not train) or bn_frozen,
             momentum=self.bn_momentum,
             epsilon=self.bn_eps,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bn",
         )(x)
