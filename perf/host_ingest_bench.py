@@ -76,10 +76,16 @@ def main():
 
         if args.jpeg:
             import cv2
+            # realistic source frames: stored larger than the canvas (the
+            # Kinetics frame dumps are ~256x340 for a 128x171 canvas), so
+            # decode cost includes the downscale both paths must do
+            big = rng.integers(0, 256,
+                               (canvas[0] * 2, canvas[1] * 2, 3), np.uint8)
+            big = cv2.GaussianBlur(big, (9, 9), 3)  # compressible content
             jdir = os.path.join(tmp, "jpeg", "v0")
             os.makedirs(jdir)
             for i in range(1, args.frames + 1):
-                cv2.imwrite(os.path.join(jdir, f"img_{i:05d}.jpg"), frame)
+                cv2.imwrite(os.path.join(jdir, f"img_{i:05d}.jpg"), big)
             jsplit = os.path.join(tmp, "jsplit.txt")
             with open(jsplit, "w") as f:
                 f.write(f"v0 {args.frames} 0\n")
@@ -94,6 +100,20 @@ def main():
             cps_j = n / (time.perf_counter() - t0)
             print(f"jpeg ingest:  {cps_j:,.0f} clips/s "
                   f"(speedup {cps / cps_j:.0f}x)")
+
+            from video_graph_ssl_tpu.data.native import native_jpeg_available
+            if native_jpeg_available():
+                dsn = ContrastiveDataset(
+                    root_path=os.path.join(tmp, "jpeg"), list_file=jsplit,
+                    video_length=16, frame_interval=4, sample_type="dense",
+                    pre_load="native", canvas_hw=canvas)
+                dsn.__getitem__(0, rng=g)  # warm pool + page cache
+                t0 = time.perf_counter()
+                for i in range(n):
+                    dsn.__getitem__(0, rng=g)
+                cps_n = n / (time.perf_counter() - t0)
+                print(f"jpeg native:  {cps_n:,.0f} clips/s "
+                      f"(C++ pool, {cps_n / cps_j:.2f}x cv2 path)")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -48,7 +48,7 @@ _C.INPUT.SAMPLE_RATE = 4
 _C.INPUT.IMG_TMP = "img_{:05d}.jpg"
 _C.INPUT.FLOW_TMP = "flow_{}_{:05d}.jpg"
 _C.INPUT.FLIP = True
-_C.INPUT.PRE_LOAD = "cv2"
+_C.INPUT.PRE_LOAD = "cv2"          # cv2 | PIL | shard | native (C++ jpeg pool)
 _C.INPUT.TEMPORAL_JITTER = False
 # Consecutive frames loaded per sampled index, channel-stacked.  -1 = auto
 # by modality: 1 for RGB, 5 for Flow/RGBDiff (the reference wrappers'
@@ -163,10 +163,12 @@ _C.GRAPH.MAX_POOL = True
 _C.GRAPH.BN_LAYER = False
 _C.GRAPH.SAMPLER = "relaxed_bernoulli"   # relaxed_bernoulli | gaussian | none
 # Fused Pallas adjacency kernel (ops/pallas/graph_kernel.py). Measured on
-# v5e (bs=128, S3D aug points): beats the XLA path at every aug shape
-# (e.g. idx5 fwd 4.29 vs 4.85 ms, f+b 4.35 vs 4.88 ms) and in the full
-# fused MoCo+graph step (116.9 vs 117.5 ms). Auto-falls back to XLA on
-# non-TPU platforms and non-relaxed_bernoulli samplers.
+# v5e (bs=128, S3D aug points): beats the XLA path at every aug shape in
+# isolation (e.g. idx5 fwd 4.29 vs 4.85 ms, f+b 4.35 vs 4.88 ms,
+# perf/graph_lab.py), compiles in 2-15 s, and is within measurement noise
+# of the XLA path inside the full fused MoCo+graph step (112.2 vs
+# 111.3 ms, perf/regime_bench.py). Auto-falls back to XLA on non-TPU
+# platforms and non-relaxed_bernoulli samplers.
 _C.GRAPH.USE_PALLAS = True
 
 # ---------------------------------------------------------------------------- #

@@ -42,7 +42,22 @@ def pil_loader(path: str) -> np.ndarray:
         return np.asarray(img.convert("RGB"))
 
 
+_NATIVE_POOL = None
+
+
+def _native_pool():
+    """Lazy per-process singleton of the C++ decode pool."""
+    global _NATIVE_POOL
+    if _NATIVE_POOL is None:
+        from .native import NativeJpegPool
+
+        _NATIVE_POOL = NativeJpegPool()
+    return _NATIVE_POOL
+
+
 def load_image(path: str, pre_load: str = "cv2") -> np.ndarray:
+    if pre_load == "native":
+        pre_load = "cv2"  # no canvas: batched native path not applicable
     if pre_load == "cv2" and _HAS_CV2:
         return opencv_loader(path)
     if _HAS_PIL:
@@ -94,11 +109,33 @@ def load_clip(
     stack ``3·new_length`` (RGBDiff's +1 frame is added by the dataset;
     differencing happens on device, models/wrappers.py).
     """
+    L = max(1, int(new_length))
+    if pre_load == "native" and modality in ("RGB", "RGBDiff") \
+            and canvas_hw is not None:
+        # Batched native path: every frame of the clip decodes (+ DCT
+        # prescale + bilinear resize to the canvas) in ONE ctypes call on
+        # the C++ thread pool, GIL released (data/native/jpeg_pool.cpp).
+        paths = []
+        for idx in indices:
+            p = int(idx)
+            for _ in range(L):
+                paths.append(os.path.join(directory, image_tmpl.format(p)))
+                if num_frames is None or p < int(num_frames):
+                    p += 1
+        arr = _native_pool().decode_batch(paths, *canvas_hw)
+        t = len(indices)
+        if L == 1:
+            return arr
+        arr = arr.reshape(t, L, *arr.shape[1:])        # (T, L, H, W, 3)
+        return np.ascontiguousarray(
+            arr.transpose(0, 2, 3, 1, 4)).reshape(
+                t, arr.shape[2], arr.shape[3], L * 3)
+
     frames = []
     for idx in indices:
         p = int(idx)
         steps = []
-        for _ in range(max(1, int(new_length))):
+        for _ in range(L):
             if modality == "Flow":
                 xy = load_flow_pair(directory, image_tmpl, p, pre_load)
                 img = np.stack(xy, axis=-1)
