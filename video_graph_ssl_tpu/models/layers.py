@@ -92,7 +92,13 @@ def max_pool_3d(x: jnp.ndarray, kernel_size, stride, padding=0) -> jnp.ndarray:
                 sl = [slice(None)] * y.ndim
                 sl[axis] = slice(a, a + n - ki + 1 + 2 * pi)
                 part = yp[tuple(sl)]
-                acc = part if acc is None else jnp.maximum(acc, part)
+                # where(>=) instead of jnp.maximum: identical forward, but
+                # maximum's VJP tie-SPLITS the gradient with a divide
+                # (profiled as 15 ms/step of divide_multiply fusions);
+                # where's VJP is a plain select routing ties to the first
+                # tap — PyTorch's argmax convention.
+                acc = part if acc is None else jnp.where(acc >= part, acc,
+                                                         part)
             y = acc
         return y
     return max_pool_3d_ref(x, kernel_size, stride, padding)
