@@ -161,7 +161,13 @@ _C.GRAPH.ALPHA = 0.5
 _C.GRAPH.SUB_SAMPLE = True
 _C.GRAPH.MAX_POOL = True
 _C.GRAPH.BN_LAYER = False
-_C.GRAPH.SAMPLER = "relaxed_bernoulli"   # relaxed_bernoulli | gaussian | none
+# relaxed_bernoulli (rsample) | relaxed_bernoulli_sample (no grad through
+# the draw, reference _sample_adj_with_van) | gaussian | none
+_C.GRAPH.SAMPLER = "relaxed_bernoulli"
+# Temporal neighborhood masking pre-softmax (intended semantics of the
+# reference's broken mask_frame/nei_size, temporal_graph.py:169-174).
+_C.GRAPH.MASK_FRAME = False
+_C.GRAPH.NEI_SIZE = 0                    # <=0: full sequence (no masking)
 # Fused Pallas adjacency kernel (ops/pallas/graph_kernel.py). Measured on
 # v5e (bs=128, S3D aug points): beats the XLA path at every aug shape in
 # isolation (e.g. idx5 fwd 4.29 vs 4.85 ms, f+b 4.35 vs 4.88 ms,

@@ -90,6 +90,8 @@ def graph_cfg_from(cfg) -> Dict[str, Any]:
         max_pool=g.MAX_POOL,
         bn_layer=g.BN_LAYER,
         sampler=g.SAMPLER,
+        mask_frame=g.MASK_FRAME,
+        nei_size=g.NEI_SIZE,
         use_pallas=g.USE_PALLAS,
     )
 

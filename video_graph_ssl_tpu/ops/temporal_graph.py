@@ -215,7 +215,24 @@ class TemporalGraphAug(nn.Module):
     num_gcn_layers: int = 1
     temperature: float = 1.0
     max_hop: int = 3
-    sampler: str = "relaxed_bernoulli"  # relaxed_bernoulli | gaussian | none
+    # relaxed_bernoulli        — rsample(): reparameterized, grads flow into
+    #                            the adjacency (reference: temporal_graph.py:
+    #                            187-192, _sample_adj_with_rel_ber).
+    # relaxed_bernoulli_sample — sample(): same distribution, but the draw is
+    #                            treated as a constant (no gradient through
+    #                            the sampling; reference: temporal_graph.py:
+    #                            194-199, _sample_adj_with_van).
+    # gaussian | none
+    sampler: str = "relaxed_bernoulli"
+    # Temporal neighborhood masking before the softmax (reference:
+    # temporal_graph.py:169-174).  The reference's loop is latently broken —
+    # it indexes the *batch* dim with the neighbor range and fills nearly the
+    # whole matrix with -inf (NaN softmax rows).  Intended semantics
+    # implemented here: frame i may only attend to frames j with
+    # |i - j| < nei_size; nei_size<=0 means the full sequence (no masking),
+    # matching the reference's ``nei_size = sequence_len if not nei_size``.
+    mask_frame: bool = False
+    nei_size: int = 0
     use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -260,6 +277,7 @@ class TemporalGraphAug(nn.Module):
         sampling = train and self.sampler != "none"
 
         if (self.use_pallas and self.sampler == "relaxed_bernoulli"
+                and not self.mask_frame
                 and jax.devices()[0].platform == "tpu"):
             # Fused VMEM kernel: qk^T + softmax + hop reweight + Gumbel
             # sample in one pallas_call (see ops/pallas/graph_kernel.py).
@@ -277,6 +295,14 @@ class TemporalGraphAug(nn.Module):
             sim = jnp.einsum(
                 "bid,bjd->bij", g_q, g_k, preferred_element_type=jnp.float32
             )
+            if self.mask_frame and 0 < self.nei_size < t:
+                # Static trace-time band mask: -inf outside |i-j| < nei_size
+                # so the softmax renormalizes over the neighborhood only
+                # (intended semantics of reference temporal_graph.py:169-174;
+                # see the field docstring for the reference's latent bug).
+                idx = np.arange(t)
+                band = np.abs(idx[:, None] - idx[None, :]) < self.nei_size
+                sim = jnp.where(jnp.asarray(band)[None], sim, -jnp.inf)
             sim = jax.nn.softmax(sim, axis=-1)
             adj = sim * theta[None]
 
@@ -284,6 +310,11 @@ class TemporalGraphAug(nn.Module):
                 key = self.make_rng("graph")
                 if self.sampler == "relaxed_bernoulli":
                     adj = relaxed_bernoulli_sample(key, adj, self.temperature)
+                elif self.sampler == "relaxed_bernoulli_sample":
+                    # .sample() vs .rsample(): identical draw, gradient cut
+                    # (torch's sample() wraps rsample in no_grad).
+                    adj = jax.lax.stop_gradient(
+                        relaxed_bernoulli_sample(key, adj, self.temperature))
                 elif self.sampler == "gaussian":
                     adj = gaussian_perturb_sample(key, adj, self.alpha)
                 else:
