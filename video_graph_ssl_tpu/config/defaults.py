@@ -186,7 +186,7 @@ _C.TPU.MESH_AXES = ("data",)
 _C.TPU.COMPUTE_DTYPE = "bfloat16"        # activations / conv compute
 _C.TPU.PARAM_DTYPE = "float32"           # master params
 _C.TPU.SYNC_BN = True                    # cross-replica batch stats (psum)
-_C.TPU.SHUFFLE_BN = False                # ppermute-based ShuffleBN for MoCo keys
+_C.TPU.SHUFFLE_BN = False                # shard_map local-BN ShuffleBN for MoCo keys
 _C.TPU.REMAT = False                     # jax.checkpoint the backbone stages
 _C.TPU.PREFETCH = 2                      # host->device pipeline depth
 _C.TPU.CKPT_BACKEND = "msgpack"          # msgpack (1 file) | orbax (sharded)

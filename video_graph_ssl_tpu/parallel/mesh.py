@@ -11,7 +11,8 @@ insert every collective the reference hand-rolled:
 | DDP gradient allreduce                   | implicit psum in sharded jit      |
 | ``_global_gather`` all_gather of keys    | global-view batch (no code)       |
 | ``_broadcast_memory`` param broadcast    | replicated NamedSharding          |
-| ShuffleBN per-node shuffles              | global-batch BN stats / ppermute  |
+| ShuffleBN per-node shuffles              | global-batch BN stats / shard_map |
+|                                          | local-BN + pmean'd stats          |
 
 Multi-host TPU slices only additionally need ``jax.distributed.initialize``
 before mesh construction (``maybe_initialize_distributed``).
