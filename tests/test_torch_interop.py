@@ -116,6 +116,155 @@ def test_export_roundtrip():
         np.testing.assert_array_equal(back[k], sd[k])
 
 
+def _assert_matches_init(model, params, stats, x):
+    import jax
+
+    ref_vars = jax.jit(lambda x: model.init({"params": jax.random.key(0)}, x,
+                                            train=False))(x)
+    ref_p = jax.tree_util.tree_structure(ref_vars["params"])
+    got_p = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(jnp.asarray, params))
+    assert ref_p == got_p, f"param tree mismatch:\n{ref_p}\nvs\n{got_p}"
+    jax.tree_util.tree_map(
+        lambda a, b: None if a.shape == b.shape else (_ for _ in ()).throw(
+            AssertionError(f"{a.shape} vs {b.shape}")),
+        ref_vars["params"], jax.tree_util.tree_map(jnp.asarray, params))
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, x)
+    assert out.shape == (1, 1024)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_full_s3dg_conversion_and_forward():
+    """S3DG ``features.N`` + conv/conv2 naming (S3DG_Pytorch.py:310-335)
+    maps onto S3D(temporal_bias=True) — biased separable convs."""
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_torch_s3dg, reference_s3dg_shape_manifest)
+
+    manifest = reference_s3dg_shape_manifest()
+    sd = _random_sd(manifest, seed=5)
+    params, stats = convert_torch_s3dg(sd)
+    # spot-check: conv bias is carried, temporal conv transposed
+    assert params["stem_0"]["spatial"]["conv"]["bias"].shape == (64,)
+    assert params["stem_0"]["temporal"]["conv"]["kernel"].shape == (7, 1, 1, 64, 64)
+    m = S3D(num_classes=None, temporal_bias=True, dtype=jnp.float32)
+    _assert_matches_init(m, params, stats, jnp.zeros((1, 8, 32, 32, 3)))
+
+
+def test_full_i3d_conversion_and_forward():
+    """I3D conv3d_*/mixed_*.branch_K naming (i3dpt.py:161-262) maps onto
+    models.i3d.I3D."""
+    from video_graph_ssl_tpu.models.i3d import I3D
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_torch_i3d, reference_i3d_shape_manifest)
+
+    manifest = reference_i3d_shape_manifest()
+    sd = _random_sd(manifest, seed=6)
+    params, stats = convert_torch_i3d(sd)
+    assert params["conv3d_1a"]["conv"]["kernel"].shape == (7, 7, 7, 3, 64)
+    m = I3D(num_classes=None, dtype=jnp.float32)
+    _assert_matches_init(m, params, stats, jnp.zeros((1, 8, 32, 32, 3)))
+
+
+def test_tf_i3d_loader_semantics():
+    """The TF-name loader reproduces i3dpt.py:313-423: BN scale == ones,
+    stats squeezed, Mixed_5b Branch_2 read from the typo'd scope
+    ``Conv3d_0a_3x3`` (fix_typo=True, i3dpt.py:295-300)."""
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_tf_i3d, reference_i3d_shape_manifest, tf_i3d_to_torch_sd)
+
+    manifest = reference_i3d_shape_manifest()
+    g = np.random.default_rng(8)
+    tf_vars = {}
+
+    def tf_name(pt_name):
+        # invert the loader's pt->tf naming for synthesis
+        unit_map = {"conv3d_1a_7x7": "Conv3d_1a_7x7",
+                    "conv3d_2b_1x1": "Conv3d_2b_1x1",
+                    "conv3d_2c_3x3": "Conv3d_2c_3x3"}
+        if pt_name in unit_map:
+            return unit_map[pt_name]
+        mixed, branch = pt_name.split(".", 1)
+        scope = "Mixed_" + mixed.split("_")[1]
+        bmap = {"branch_0": "Branch_0/Conv3d_0a_1x1",
+                "branch_1.0": "Branch_1/Conv3d_0a_1x1",
+                "branch_1.1": "Branch_1/Conv3d_0b_3x3",
+                "branch_2.0": "Branch_2/Conv3d_0a_1x1",
+                "branch_2.1": "Branch_2/Conv3d_0b_3x3",
+                "branch_3.1": "Branch_3/Conv3d_0b_1x1"}
+        leaf = bmap[branch]
+        if mixed == "mixed_5b" and branch == "branch_2.1":
+            leaf = "Branch_2/Conv3d_0a_3x3"   # the reference's typo'd scope
+        return f"{scope}/{leaf}"
+
+    for name, shape in manifest.items():
+        if not name.endswith(".conv3d.weight"):
+            continue
+        unit = name[: -len(".conv3d.weight")]
+        co, ci, kt, kh, kw = shape
+        base = f"RGB/inception_i3d/{tf_name(unit)}"
+        tf_vars[f"{base}/conv_3d/w"] = g.normal(
+            0, 0.1, (kt, kh, kw, ci, co)).astype(np.float32)
+        # TF stores BN params as (1,1,1,1,C); the loader squeezes
+        bnp = f"{base}/batch_norm"
+        tf_vars[f"{bnp}/beta"] = g.normal(0, 0.1, (1, 1, 1, 1, co)).astype(np.float32)
+        tf_vars[f"{bnp}/moving_mean"] = g.normal(0, 0.1, (1, 1, 1, 1, co)).astype(np.float32)
+        tf_vars[f"{bnp}/moving_variance"] = g.uniform(0.5, 2.0, (1, 1, 1, 1, co)).astype(np.float32)
+
+    sd = tf_i3d_to_torch_sd(tf_vars)
+    assert set(sd) == set(manifest), (
+        sorted(set(manifest) ^ set(sd))[:4])
+    # BN gammas are ones (TF I3D has no scale; i3dpt.py:389)
+    np.testing.assert_array_equal(sd["mixed_3b.branch_0.batch3d.weight"],
+                                  np.ones(64, np.float32))
+    # the typo'd scope's weights landed in mixed_5b.branch_2.1
+    w_tf = tf_vars["RGB/inception_i3d/Mixed_5b/Branch_2/Conv3d_0a_3x3/conv_3d/w"]
+    np.testing.assert_array_equal(
+        sd["mixed_5b.branch_2.1.conv3d.weight"],
+        np.transpose(w_tf, (4, 3, 0, 1, 2)))
+    # and stats were squeezed to (C,)
+    assert sd["mixed_3b.branch_0.batch3d.running_mean"].shape == (64,)
+    params, stats = convert_tf_i3d(tf_vars)
+    # mixed_5b b2 = (32 -> 128) per the Inception channel plan (_MIXED_SPECS)
+    assert params["mixed_5b"]["branch2"]["conv"]["kernel"].shape == (3, 3, 3, 32, 128)
+
+
+def test_s3dg_inflation_rule():
+    """Temporal-collapse rule of the reference S3DG loader
+    (S3DG_Pytorch.py:356-380): 5-D weights with spatial k in {3,7} write
+    their temporal mean into tap 0 only; others copy; unknown keys skip."""
+    from video_graph_ssl_tpu.utils.torch_interop import inflate_s3dg_checkpoint
+
+    g = np.random.default_rng(9)
+    init = {
+        "features.0.conv2.weight": g.normal(0, 1, (8, 8, 7, 1, 1)).astype(np.float32),
+        "features.0.conv.weight": g.normal(0, 1, (8, 3, 1, 7, 7)).astype(np.float32),
+        "features.2.conv.weight": g.normal(0, 1, (8, 8, 1, 1, 1)).astype(np.float32),
+        "features.0.bn.weight": np.zeros(8, np.float32),
+    }
+    ckpt = {
+        # full-3D 7x7x7 checkpoint weight -> collapses into tap 0 of the
+        # init's spatial conv (shape[3] == 7 triggers the rule)
+        "features.0.conv.weight": g.normal(0, 1, (8, 3, 7, 7, 7)).astype(np.float32),
+        "features.2.conv.weight": g.normal(0, 1, (8, 8, 1, 1, 1)).astype(np.float32),
+        "features.0.bn.weight": np.ones(8, np.float32),
+        "not.a.key": np.zeros(3, np.float32),
+    }
+    out = inflate_s3dg_checkpoint(init, ckpt)
+    np.testing.assert_allclose(out["features.0.conv.weight"][:, :, 0],
+                               ckpt["features.0.conv.weight"].mean(axis=2),
+                               rtol=1e-6)
+    # non-tap-0 temporal taps keep the initialization — the reference only
+    # writes slice 0 (S3DG_Pytorch.py:365-366); here k=(1,7,7) has a single
+    # temporal tap, so check an untouched key instead
+    np.testing.assert_array_equal(out["features.0.conv2.weight"],
+                                  init["features.0.conv2.weight"])
+    np.testing.assert_array_equal(out["features.2.conv.weight"],
+                                  ckpt["features.2.conv.weight"])
+    np.testing.assert_array_equal(out["features.0.bn.weight"], np.ones(8))
+    assert "not.a.key" not in out
+
+
 def test_strip_prefixes():
     sd = {"module.encoder.base_model.base.0.conv_s.weight": np.zeros(1)}
     out = strip_prefixes(sd)

@@ -1,16 +1,24 @@
 #!/usr/bin/env python
 """Reference-checkpoint fidelity check (BASELINE.md north star).
 
-One command that proves a reference PyTorch S3D checkpoint produces the
-same features in this framework:
+One command that proves a reference PyTorch checkpoint produces the same
+features in this framework, for every backbone with a reference loader:
 
+  --backbone s3d   lib/modeling/backbone/backbone_3d/s3d_1.py
+  --backbone s3dg  lib/modeling/backbone/backbone_3d/S3DG_Pytorch.py
+                   (the biased-STConv3d variant; features.N naming)
+  --backbone i3d   lib/modeling/backbone/backbone_3d/i3dpt.py
+                   (TF-SAME padding; also exercises the TF-name loader
+                   when --tf_npz is given, mirroring load_tf_weights)
+
+Steps:
   1. load the torch state_dict (``--torch_ckpt``; or synthesize a random
      reference-shaped one with ``--synthetic`` for the data-less dry run),
   2. run the REFERENCE model code itself (imported by file path from
      /root/reference, executed as ground truth — nothing is copied) on a
      fixed input batch,
-  3. convert the checkpoint with utils/torch_interop.convert_torch_s3d and
-     run our S3D under jit,
+  3. convert the checkpoint with utils/torch_interop and run our model
+     under jit,
   4. report feature/logit MSE, max abs diff, and cosine similarity, and
      exit non-zero if outside tolerance.
 
@@ -29,23 +37,31 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REF_S3D = "/root/reference/lib/modeling/backbone/backbone_3d/s3d_1.py"
+REF_DIR = "/root/reference/lib/modeling/backbone/backbone_3d"
 
 
-def load_reference_s3d(num_classes: int):
-    """Execute the reference's own S3D definition as ground truth."""
-    spec = importlib.util.spec_from_file_location("ref_s3d", REF_S3D)
+def _load_ref_module(fname: str, modname: str):
+    spec = importlib.util.spec_from_file_location(
+        modname, os.path.join(REF_DIR, fname))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.S3D(num_class=num_classes)
+    return mod
 
 
-def synthesize_state_dict(num_classes):
-    from video_graph_ssl_tpu.utils.torch_interop import (
-        reference_s3d_shape_manifest)
+def _head_pool(base_np: np.ndarray) -> np.ndarray:
+    """Reference head weighting (s3d_1.py:28-35 == i3dpt.py:230-262 up to
+    the linear classifier): spatial mean -> adjacent-frame-pair average ->
+    temporal mean, on (B, C, T', H', W')."""
+    feat_t = base_np.mean(axis=(3, 4))                  # (B, C, T')
+    if feat_t.shape[-1] > 1:
+        feat_t = (feat_t[..., :-1] + feat_t[..., 1:]) * 0.5
+    return feat_t.mean(axis=-1)
+
+
+def synthesize_state_dict(manifest):
     g = np.random.default_rng(0)
     sd = {}
-    for name, shape in reference_s3d_shape_manifest(num_classes).items():
+    for name, shape in manifest.items():
         if name.endswith("running_var"):
             sd[name] = g.uniform(0.5, 1.5, shape).astype(np.float32)
         elif name.endswith(("weight",)) and len(shape) == 5:
@@ -55,10 +71,130 @@ def synthesize_state_dict(num_classes):
     return sd
 
 
+# --------------------------------------------------------------------------- #
+# per-backbone adapters
+# --------------------------------------------------------------------------- #
+
+def run_s3d(sd, x, has_fc, n_cls):
+    import torch
+    from video_graph_ssl_tpu.utils.torch_interop import convert_torch_s3d
+
+    mod = _load_ref_module("s3d_1.py", "ref_s3d")
+    ref = mod.S3D(num_class=n_cls)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+    unexpected = [k for k in unexpected
+                  if not k.endswith("num_batches_tracked")]
+    assert not unexpected, f"unconsumed checkpoint keys: {unexpected[:5]}"
+    if missing:
+        print(f"note: {len(missing)} reference params not in ckpt "
+              f"(e.g. {missing[0]}) — encoder-only checkpoint")
+    ref.eval()
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))  # NCDHW
+    with torch.no_grad():
+        if has_fc:
+            theirs, what = ref(xt).numpy(), "logits"
+        else:
+            theirs, what = _head_pool(ref.base(xt).numpy()), "features"
+
+    import jax.numpy as jnp
+    from video_graph_ssl_tpu.models.s3d import S3D
+
+    params, stats = convert_torch_s3d(sd, with_classifier=has_fc)
+    model = S3D(num_classes=n_cls if has_fc else None, dtype=jnp.float32)
+    return model, params, stats, theirs, what
+
+
+def run_s3dg(sd, x, has_fc, n_cls):
+    import torch
+    from video_graph_ssl_tpu.utils.torch_interop import convert_torch_s3dg
+
+    mod = _load_ref_module("S3DG_Pytorch.py", "ref_s3dg")
+    ref = mod.S3DG(num_classes=n_cls)
+    # torch's own strict load (the reference's custom load_state_dict is the
+    # INFLATION path, exercised separately by inflate_s3dg_checkpoint tests)
+    torch.nn.Module.load_state_dict(
+        ref, {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+    ref.eval()
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
+    with torch.no_grad():
+        # encoder truncation: features[:16] == through Mixed_5c
+        # (S3DG_Pytorch.py:314-331); the reference's own head AvgPool3d
+        # k=(2,7,7) assumes 224^2 inputs, so features are the comparable
+        # surface at SSL geometry.
+        base = xt
+        for i in range(16):
+            base = ref.features[i](base)
+        theirs, what = _head_pool(base.numpy()), "features"
+
+    import jax.numpy as jnp
+    from video_graph_ssl_tpu.models.s3d import S3D
+
+    params, stats = convert_torch_s3dg(sd, with_classifier=False)
+    model = S3D(num_classes=None, temporal_bias=True, dtype=jnp.float32)
+    return model, params, stats, theirs, what
+
+
+def run_i3d(sd, x, has_fc, n_cls):
+    import torch
+    from video_graph_ssl_tpu.utils.torch_interop import convert_torch_i3d
+
+    mod = _load_ref_module("i3dpt.py", "ref_i3d")
+    ref = mod.I3D(num_classes=n_cls, modality="rgb")
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+    unexpected = [k for k in unexpected
+                  if not k.endswith("num_batches_tracked")]
+    assert not unexpected, f"unconsumed checkpoint keys: {unexpected[:5]}"
+    ref.eval()
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
+    with torch.no_grad():
+        # encoder truncation through mixed_5c (i3dpt.py:244-259); the
+        # reference head's AvgPool3d k=(2,7,7) assumes 224^2 inputs.
+        out = ref.conv3d_1a_7x7(xt)
+        out = ref.maxPool3d_2a_3x3(out)
+        out = ref.conv3d_2b_1x1(out)
+        out = ref.conv3d_2c_3x3(out)
+        out = ref.maxPool3d_3a_3x3(out)
+        for name in ("mixed_3b", "mixed_3c"):
+            out = getattr(ref, name)(out)
+        out = ref.maxPool3d_4a_3x3(out)
+        for name in ("mixed_4b", "mixed_4c", "mixed_4d", "mixed_4e",
+                     "mixed_4f"):
+            out = getattr(ref, name)(out)
+        out = ref.maxPool3d_5a_2x2(out)
+        out = ref.mixed_5b(out)
+        out = ref.mixed_5c(out)
+        theirs, what = _head_pool(out.numpy()), "features"
+
+    import jax.numpy as jnp
+    from video_graph_ssl_tpu.models.i3d import I3D
+
+    params, stats = convert_torch_i3d(sd, with_classifier=False)
+    model = I3D(num_classes=None, dtype=jnp.float32)
+    return model, params, stats, theirs, what
+
+
+_BACKENDS = {"s3d": run_s3d, "s3dg": run_s3dg, "i3d": run_i3d}
+
+
+def _manifest(backbone, num_classes):
+    from video_graph_ssl_tpu.utils import torch_interop as ti
+    if backbone == "s3d":
+        return ti.reference_s3d_shape_manifest(num_classes)
+    if backbone == "s3dg":
+        return ti.reference_s3dg_shape_manifest(None)
+    return ti.reference_i3d_shape_manifest(None)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--backbone", choices=sorted(_BACKENDS), default="s3d")
     ap.add_argument("--torch_ckpt", default=None,
                     help=".pth/.pth.tar reference checkpoint")
+    ap.add_argument("--tf_npz", default=None,
+                    help="i3d only: .npz of TF variable-name -> array "
+                         "(convert_tf_i3d path, mirrors ref load_tf_weights)")
     ap.add_argument("--synthetic", action="store_true",
                     help="dry run on a synthesized reference-shaped ckpt")
     ap.add_argument("--frames", type=int, default=16)
@@ -69,70 +205,50 @@ def main(argv=None):
                     help="max allowed relative L2 error (fp32 conv reorder)")
     args = ap.parse_args(argv)
 
-    import torch
-
     from video_graph_ssl_tpu.utils.torch_interop import (
-        convert_torch_s3d, load_torch_file, strip_prefixes)
+        load_torch_file, strip_prefixes)
 
-    if args.torch_ckpt:
+    if args.tf_npz:
+        # Route TF vars through the same torch-named dict the reference's
+        # load_tf_weights builds (tf_i3d_to_torch_sd), then continue exactly
+        # as a torch checkpoint — the torch ground-truth run consumes it.
+        assert args.backbone == "i3d", "--tf_npz is an I3D checkpoint format"
+        from video_graph_ssl_tpu.utils.torch_interop import tf_i3d_to_torch_sd
+        sd = tf_i3d_to_torch_sd(dict(np.load(args.tf_npz)))
+    elif args.torch_ckpt:
         sd = strip_prefixes(load_torch_file(args.torch_ckpt))
     elif args.synthetic:
-        sd = synthesize_state_dict(args.num_classes)
+        sd = synthesize_state_dict(_manifest(args.backbone, args.num_classes))
     else:
         ap.error("pass --torch_ckpt PATH or --synthetic")
 
-    has_fc = "fc.0.weight" in sd
-    n_cls = sd["fc.0.weight"].shape[0] if has_fc else args.num_classes
-
-    # ---- reference side (torch, NCDHW) ------------------------------------
-    ref = load_reference_s3d(n_cls)
-    missing, unexpected = ref.load_state_dict(
-        {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
-    unexpected = [k for k in unexpected if not k.endswith("num_batches_tracked")]
-    assert not unexpected, f"unconsumed checkpoint keys: {unexpected[:5]}"
-    if missing:
-        print(f"note: {len(missing)} reference params not in ckpt "
-              f"(e.g. {missing[0]}) — encoder-only checkpoint")
-    ref.eval()
+    fc_key = {"s3d": "fc.0.weight", "s3dg": "features.18.weight",
+              "i3d": "conv3d_0c_1x1.conv3d.weight"}[args.backbone]
+    has_fc = fc_key in sd and args.backbone == "s3d"
+    n_cls = sd[fc_key].shape[0] if fc_key in sd else args.num_classes
 
     g = np.random.default_rng(42)
     x = g.standard_normal(
         (args.batch, args.frames, args.size, args.size, 3)).astype(np.float32)
-    with torch.no_grad():
-        xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))  # NCDHW
-        base = ref.base(xt)                                      # (B,C,T',H',W')
-        # reference head weighting (s3d_1.py:28-35): spatial mean ->
-        # adjacent-pair average -> temporal mean
-        feat_t = base.mean(dim=(3, 4))                           # (B, C, T')
-        if feat_t.shape[-1] > 1:
-            feat_t = (feat_t[..., :-1] + feat_t[..., 1:]) * 0.5
-        ref_feat = feat_t.mean(dim=-1).numpy()
-        ref_logits = ref(xt).numpy() if has_fc else None
 
-    # ---- our side (jax, NDHWC, fp32 eval) ---------------------------------
+    model, params, stats, theirs, what = _BACKENDS[args.backbone](
+        sd, x, has_fc, n_cls)
+
     import jax
     import jax.numpy as jnp
 
-    from video_graph_ssl_tpu.models.s3d import S3D
-
-    params, stats = convert_torch_s3d(sd, with_classifier=has_fc)
-    model = S3D(num_classes=n_cls if has_fc else None, dtype=jnp.float32)
     variables = {"params": params, "batch_stats": stats}
     out = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(
         variables, jnp.asarray(x))
-    out = np.asarray(out)
-
-    if has_fc:
-        ours, theirs, what = out, ref_logits, "logits"
-    else:
-        ours, theirs, what = out, ref_feat, "features"
+    ours = np.asarray(out)
 
     diff = ours - theirs
     rel = np.linalg.norm(diff) / max(np.linalg.norm(theirs), 1e-12)
     cos = float(np.sum(ours * theirs)
                 / max(np.linalg.norm(ours) * np.linalg.norm(theirs), 1e-12))
-    print(f"{what}: shape {ours.shape}  mse {np.mean(diff**2):.3e}  "
-          f"max|d| {np.max(np.abs(diff)):.3e}  rel_l2 {rel:.3e}  cos {cos:.6f}")
+    print(f"{args.backbone} {what}: shape {ours.shape}  "
+          f"mse {np.mean(diff**2):.3e}  max|d| {np.max(np.abs(diff)):.3e}  "
+          f"rel_l2 {rel:.3e}  cos {cos:.6f}")
     ok = rel < args.tol_rel
     print("FIDELITY_OK" if ok else f"FIDELITY_FAIL (rel_l2 {rel:.3e} "
           f">= {args.tol_rel})")

@@ -134,7 +134,16 @@ class I3D(nn.Module):
                 b0, b1, b2, b3 = _MIXED_SPECS[name]
                 x = mixed(b0, b1, b2, b3, name=name, **kw)(x, bt)
 
-        feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+        # Reference head pooling (i3dpt.py:230-262): AvgPool3d((2,7,7),
+        # stride 1) -> 1x1x1 conv -> temporal mean.  As in S3D (s3d.py head),
+        # this equals spatial mean -> adjacent-frame-pair average -> temporal
+        # mean, weighting endpoint frames HALF of interior frames when T'>2;
+        # the pair-average commutes with the linear classifier so features
+        # can carry it.
+        y = jnp.mean(x.astype(jnp.float32), axis=(2, 3))  # (B, T', C)
+        if y.shape[1] > 1:
+            y = (y[:, :-1] + y[:, 1:]) * 0.5
+        feat = jnp.mean(y, axis=1)
         if self.num_classes is None:
             return feat
         return nn.Dense(self.num_classes, dtype=jnp.float32,

@@ -1,4 +1,4 @@
-"""PyTorch <-> JAX checkpoint interoperability for S3D.
+"""PyTorch/TF <-> JAX checkpoint interoperability (S3D, S3DG, I3D).
 
 The north star requires pretrained-feature fidelity against the PyTorch
 reference at eval tolerance, which means reference checkpoints must load
@@ -170,6 +170,317 @@ def export_s3d_to_torch_names(params: dict, stats: dict) -> Dict[str, np.ndarray
         if "bias" in params["fc"]:
             out["fc.0.bias"] = np.asarray(params["fc"]["bias"])
     return out
+
+
+# --------------------------------------------------------------------------- #
+# S3DG (reference: S3DG_Pytorch.py) — same topology as S3D with biased
+# separable convs ('STConv3d'), ``features.N`` Sequential naming, and
+# STConv3d field names conv/bn (spatial) + conv2/bn2 (temporal).
+# --------------------------------------------------------------------------- #
+
+def _convbn_sdg(sd, conv_name: str, bn_name: str) -> Tuple[dict, dict]:
+    params, stats = _convbn(sd, conv_name, bn_name)
+    if conv_name + ".bias" in sd:
+        params["conv"]["bias"] = np.asarray(sd[conv_name + ".bias"])
+    return params, stats
+
+
+def _sep_sdg(sd, prefix: str) -> Tuple[dict, dict]:
+    sp, ss = _convbn_sdg(sd, prefix + ".conv", prefix + ".bn")
+    tp, ts = _convbn_sdg(sd, prefix + ".conv2", prefix + ".bn2")
+    return {"spatial": sp, "temporal": tp}, {"spatial": ss, "temporal": ts}
+
+
+def convert_torch_s3dg(
+    sd: Dict[str, np.ndarray],
+    with_classifier: bool = False,
+) -> Tuple[dict, dict]:
+    """Reference S3DG state_dict -> (params, batch_stats) for
+    models.s3d.S3D(temporal_bias=True).
+
+    Name map (reference: S3DG_Pytorch.py:310-335): the ``features.N``
+    Sequential mirrors S3D's ``base.N`` stage table exactly; STConv3d stores
+    its two convs as ``conv``/``bn`` (spatial) + ``conv2``/``bn2``
+    (temporal), both biased; BasicConv3d as ``conv``/``bn``; Mixed branches
+    ``branchK`` with branch3's conv at index 1 after the MaxPool.
+    """
+    params: dict = {}
+    stats: dict = {}
+    for ours, (idx, kind) in _S3D_STAGES.items():
+        base = f"features.{idx}"
+        if kind == "sep":
+            p, s = _sep_sdg(sd, base)
+        elif kind == "basic":
+            p, s = _convbn_sdg(sd, base + ".conv", base + ".bn")
+            p, s = {"block": p}, {"block": s}
+        else:
+            p, s = {}, {}
+            for bname, (bidx, lidx, bkind) in _MIXED_BRANCHES.items():
+                prefix = f"{base}.branch{bidx}.{lidx}"
+                if bkind == "sep":
+                    bp, bs = _sep_sdg(sd, prefix)
+                else:
+                    bp, bs = _convbn_sdg(sd, prefix + ".conv", prefix + ".bn")
+                    bp, bs = {"block": bp}, {"block": bs}
+                p[bname], s[bname] = bp, bs
+        params[ours] = p
+        stats[ours] = s
+
+    # classifier: features.18 = Conv3d(1024, classes, 1, bias=True)
+    # (S3DG_Pytorch.py:334)
+    if with_classifier and "features.18.weight" in sd:
+        w = np.asarray(sd["features.18.weight"])
+        params["fc"] = {"kernel": w.reshape(w.shape[0], w.shape[1]).T}
+        if "features.18.bias" in sd:
+            params["fc"]["bias"] = np.asarray(sd["features.18.bias"])
+    return params, stats
+
+
+def inflate_s3dg_checkpoint(
+    init_sd: Dict[str, np.ndarray],
+    ckpt_sd: Dict[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """Reproduce the reference S3DG loader's temporal-collapse rule on
+    reference-named numpy dicts (S3DG_Pytorch.py:356-380).
+
+    For every checkpoint tensor that exists in ``init_sd``: 5-D conv
+    weights whose spatial kernel is 3 or 7 (``param.size()[3] in [3,7]``)
+    write the checkpoint's TEMPORAL MEAN into temporal tap 0 of the init
+    weight — the remaining taps keep their initialization (this is how the
+    reference seeds S3DG's separable convs from full-3D I3D weights);
+    everything else is copied verbatim.  Keys absent from ``init_sd`` are
+    skipped (the reference prints a warning and continues).
+    """
+    out = {k: np.array(v) for k, v in init_sd.items()}
+    for name, param in ckpt_sd.items():
+        if name not in out:
+            continue
+        param = np.asarray(param)
+        if param.ndim == 5 and param.shape[3] in (3, 7):
+            out[name][:, :, 0, :, :] = param.mean(axis=2)
+        else:
+            out[name] = param.astype(out[name].dtype, copy=False)
+    return out
+
+
+def reference_s3dg_shape_manifest(num_classes: Optional[int] = None
+                                  ) -> Dict[str, tuple]:
+    """Name -> shape manifest of a reference S3DG state_dict
+    (S3DG_Pytorch.py:310-335 ``features.N`` naming; biased convs)."""
+    from ..models.s3d import _MIXED_SPECS
+
+    manifest: Dict[str, tuple] = {}
+
+    def convbn(prefix_conv, prefix_bn, cin, cout, k, bias):
+        manifest[prefix_conv + ".weight"] = (cout, cin) + k
+        if bias:
+            manifest[prefix_conv + ".bias"] = (cout,)
+        for suffix in ("weight", "bias", "running_mean", "running_var"):
+            manifest[f"{prefix_bn}.{suffix}"] = (cout,)
+
+    # STConv3d convs are biased (torch Conv3d default, S3DG_Pytorch.py:23-24);
+    # BasicConv3d sets bias=False (:7-8).
+    def sep(base, cin, cout, k):
+        convbn(base + ".conv", base + ".bn", cin, cout, (1, k, k), True)
+        convbn(base + ".conv2", base + ".bn2", cout, cout, (k, 1, 1), True)
+
+    def basic(base, cin, cout, k=1):
+        convbn(base + ".conv", base + ".bn", cin, cout, (k, k, k), False)
+
+    sep("features.0", 3, 64, 7)
+    basic("features.2", 64, 64)
+    sep("features.3", 64, 192, 3)
+    in_ch = {"mixed_3b": 192, "mixed_3c": 256, "mixed_4b": 480,
+             "mixed_4c": 512, "mixed_4d": 512, "mixed_4e": 512,
+             "mixed_4f": 528, "mixed_5b": 832, "mixed_5c": 832}
+    for name, (idx, kind) in _S3D_STAGES.items():
+        if kind != "mixed":
+            continue
+        b0, b1, b2, b3 = _MIXED_SPECS[name]
+        cin = in_ch[name]
+        base = f"features.{idx}"
+        basic(f"{base}.branch0.0", cin, b0)
+        basic(f"{base}.branch1.0", cin, b1[0])
+        sep(f"{base}.branch1.1", b1[0], b1[1], 3)
+        basic(f"{base}.branch2.0", cin, b2[0])
+        sep(f"{base}.branch2.1", b2[0], b2[1], 3)
+        basic(f"{base}.branch3.1", cin, b3)
+    if num_classes:
+        manifest["features.18.weight"] = (num_classes, 1024, 1, 1, 1)
+        manifest["features.18.bias"] = (num_classes,)
+    return manifest
+
+
+# --------------------------------------------------------------------------- #
+# I3D (reference: i3dpt.py) — Unit3Dpy modules named conv3d_*/mixed_* with
+# fields ``conv3d``/``batch3d``; TF-checkpoint mapping per load_conv3d /
+# load_mixed (i3dpt.py:313-423).
+# --------------------------------------------------------------------------- #
+
+# our I3D module name -> reference module name
+_I3D_UNITS = {
+    "conv3d_1a": "conv3d_1a_7x7",
+    "conv3d_2b": "conv3d_2b_1x1",
+    "conv3d_2c": "conv3d_2c_3x3",
+}
+_I3D_MIXED = ["mixed_3b", "mixed_3c", "mixed_4b", "mixed_4c", "mixed_4d",
+              "mixed_4e", "mixed_4f", "mixed_5b", "mixed_5c"]
+# our branch submodule -> reference branch attribute path
+_I3D_BRANCHES = {
+    "branch0": "branch_0",
+    "branch1_reduce": "branch_1.0",
+    "branch1": "branch_1.1",
+    "branch2_reduce": "branch_2.0",
+    "branch2": "branch_2.1",
+    "branch3": "branch_3.1",    # index 1: after the branch MaxPool
+}
+
+
+def _unit3d(sd, prefix: str) -> Tuple[dict, dict]:
+    """Reference Unit3Dpy (i3dpt.py:38-107): conv3d.weight (+bias),
+    batch3d.{weight,bias,running_mean,running_var}."""
+    params = {"conv": {"kernel": _conv(sd, prefix + ".conv3d.weight")}}
+    if prefix + ".conv3d.bias" in sd:
+        params["conv"]["bias"] = np.asarray(sd[prefix + ".conv3d.bias"])
+    params["bn"] = {"scale": np.asarray(sd[prefix + ".batch3d.weight"]),
+                    "bias": np.asarray(sd[prefix + ".batch3d.bias"])}
+    stats = {"bn": {"mean": np.asarray(sd[prefix + ".batch3d.running_mean"]),
+                    "var": np.asarray(sd[prefix + ".batch3d.running_var"])}}
+    return params, stats
+
+
+def convert_torch_i3d(
+    sd: Dict[str, np.ndarray],
+    with_classifier: bool = False,
+) -> Tuple[dict, dict]:
+    """Reference I3D state_dict (i3dpt.py:161-311 naming) ->
+    (params, batch_stats) for models.i3d.I3D."""
+    params: dict = {}
+    stats: dict = {}
+    for ours, ref in _I3D_UNITS.items():
+        params[ours], stats[ours] = _unit3d(sd, ref)
+    for name in _I3D_MIXED:
+        p, s = {}, {}
+        for bname, bref in _I3D_BRANCHES.items():
+            p[bname], s[bname] = _unit3d(sd, f"{name}.{bref}")
+        params[name], stats[name] = p, s
+
+    # classifier: conv3d_0c_1x1 = Unit3Dpy(1024, classes, bias, no BN)
+    # (i3dpt.py:241-247); 1x1x1 conv == Dense on pooled features.
+    if with_classifier and "conv3d_0c_1x1.conv3d.weight" in sd:
+        w = np.asarray(sd["conv3d_0c_1x1.conv3d.weight"])
+        params["fc"] = {"kernel": w.reshape(w.shape[0], w.shape[1]).T}
+        if "conv3d_0c_1x1.conv3d.bias" in sd:
+            params["fc"]["bias"] = np.asarray(sd["conv3d_0c_1x1.conv3d.bias"])
+    return params, stats
+
+
+def tf_i3d_to_torch_sd(
+    tf_vars: Dict[str, np.ndarray],
+    modality: str = "rgb",
+    with_classifier: bool = False,
+) -> Dict[str, np.ndarray]:
+    """TF DeepMind-I3D checkpoint variables -> reference-named torch-style
+    state_dict (the exact dict i3dpt.py's ``load_tf_weights`` builds).
+
+    Faithful port of the reference's TF loader (i3dpt.py:313-423
+    load_conv3d/load_mixed/get_conv_params/get_bn_params) without needing
+    TensorFlow: ``tf_vars`` maps TF variable names (e.g.
+    ``RGB/inception_i3d/Conv3d_1a_7x7/conv_3d/w``) to numpy arrays — the
+    dict a one-line TF script exports as .npz.  Reproduces the reference's
+    quirks: BN scale fixed to ONES (TF I3D has no gamma; i3dpt.py:389),
+    beta/moving stats squeezed, and Mixed_5b's Branch_2 typo'd scope name
+    ``Conv3d_0a_3x3`` (``fix_typo=True``, i3dpt.py:295-300).
+    """
+    prefix = {"rgb": "RGB/inception_i3d", "flow": "Flow/inception_i3d"}[modality]
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def load_conv3d(name_pt, name_tf, bias=False, bn=True):
+        w = np.asarray(tf_vars[f"{prefix}/{name_tf}/conv_3d/w"])
+        # TF (kt,kh,kw,ci,co) -> torch (co,ci,kt,kh,kw), as the reference
+        # stores it; convert_torch_i3d transposes back for flax.
+        sd[name_pt + ".conv3d.weight"] = np.transpose(w, (4, 3, 0, 1, 2))
+        if bias:
+            sd[name_pt + ".conv3d.bias"] = np.asarray(
+                tf_vars[f"{prefix}/{name_tf}/conv_3d/b"])
+        if bn:
+            bnp = f"{prefix}/{name_tf}/batch_norm"
+            co = w.shape[4]
+            sd[name_pt + ".batch3d.weight"] = np.ones(co, np.float32)
+            sd[name_pt + ".batch3d.bias"] = np.asarray(
+                tf_vars[f"{bnp}/beta"]).squeeze()
+            sd[name_pt + ".batch3d.running_mean"] = np.asarray(
+                tf_vars[f"{bnp}/moving_mean"]).squeeze()
+            sd[name_pt + ".batch3d.running_var"] = np.asarray(
+                tf_vars[f"{bnp}/moving_variance"]).squeeze()
+
+    def load_mixed(name_pt, name_tf, fix_typo=False):
+        load_conv3d(name_pt + ".branch_0", f"{name_tf}/Branch_0/Conv3d_0a_1x1")
+        load_conv3d(name_pt + ".branch_1.0", f"{name_tf}/Branch_1/Conv3d_0a_1x1")
+        load_conv3d(name_pt + ".branch_1.1", f"{name_tf}/Branch_1/Conv3d_0b_3x3")
+        load_conv3d(name_pt + ".branch_2.0", f"{name_tf}/Branch_2/Conv3d_0a_1x1")
+        load_conv3d(name_pt + ".branch_2.1",
+                    f"{name_tf}/Branch_2/"
+                    + ("Conv3d_0a_3x3" if fix_typo else "Conv3d_0b_3x3"))
+        load_conv3d(name_pt + ".branch_3.1", f"{name_tf}/Branch_3/Conv3d_0b_1x1")
+
+    load_conv3d("conv3d_1a_7x7", "Conv3d_1a_7x7")
+    load_conv3d("conv3d_2b_1x1", "Conv3d_2b_1x1")
+    load_conv3d("conv3d_2c_3x3", "Conv3d_2c_3x3")
+    for name in _I3D_MIXED:
+        load_mixed(name, "Mixed_" + name.split("_")[1],
+                   fix_typo=(name == "mixed_5b"))
+    if with_classifier:
+        load_conv3d("conv3d_0c_1x1", "Logits/Conv3d_0c_1x1", bias=True,
+                    bn=False)
+    return sd
+
+
+def convert_tf_i3d(
+    tf_vars: Dict[str, np.ndarray],
+    modality: str = "rgb",
+    with_classifier: bool = False,
+) -> Tuple[dict, dict]:
+    """TF DeepMind-I3D checkpoint variables -> (params, batch_stats) for
+    models.i3d.I3D (see :func:`tf_i3d_to_torch_sd`)."""
+    sd = tf_i3d_to_torch_sd(tf_vars, modality, with_classifier)
+    return convert_torch_i3d(sd, with_classifier=with_classifier)
+
+
+def reference_i3d_shape_manifest(num_classes: Optional[int] = None,
+                                 modality: str = "rgb") -> Dict[str, tuple]:
+    """Name -> shape manifest of a reference I3D state_dict
+    (i3dpt.py:161-262 module naming; convs unbiased except the classifier)."""
+    from ..models.s3d import _MIXED_SPECS
+
+    manifest: Dict[str, tuple] = {}
+
+    def unit(prefix, cin, cout, k):
+        manifest[prefix + ".conv3d.weight"] = (cout, cin) + k
+        for suffix in ("weight", "bias", "running_mean", "running_var"):
+            manifest[f"{prefix}.batch3d.{suffix}"] = (cout,)
+
+    cin0 = {"rgb": 3, "flow": 2}[modality]
+    unit("conv3d_1a_7x7", cin0, 64, (7, 7, 7))
+    unit("conv3d_2b_1x1", 64, 64, (1, 1, 1))
+    unit("conv3d_2c_3x3", 64, 192, (3, 3, 3))
+    in_ch = {"mixed_3b": 192, "mixed_3c": 256, "mixed_4b": 480,
+             "mixed_4c": 512, "mixed_4d": 512, "mixed_4e": 512,
+             "mixed_4f": 528, "mixed_5b": 832, "mixed_5c": 832}
+    for name in _I3D_MIXED:
+        b0, b1, b2, b3 = _MIXED_SPECS[name]
+        cin = in_ch[name]
+        unit(f"{name}.branch_0", cin, b0, (1, 1, 1))
+        unit(f"{name}.branch_1.0", cin, b1[0], (1, 1, 1))
+        unit(f"{name}.branch_1.1", b1[0], b1[1], (3, 3, 3))
+        unit(f"{name}.branch_2.0", cin, b2[0], (1, 1, 1))
+        unit(f"{name}.branch_2.1", b2[0], b2[1], (3, 3, 3))
+        unit(f"{name}.branch_3.1", cin, b3, (1, 1, 1))
+    if num_classes:
+        manifest["conv3d_0c_1x1.conv3d.weight"] = (num_classes, 1024, 1, 1, 1)
+        manifest["conv3d_0c_1x1.conv3d.bias"] = (num_classes,)
+    return manifest
 
 
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
