@@ -357,6 +357,24 @@ def _fix_offsets_13(image_w, image_h, crop_w, crop_h):
     return jnp.stack([grid[:, 0] * w4, grid[:, 1] * h4], axis=1)
 
 
+def msc_crop_pairs(H, W, input_size, scales=(1.0, 0.875, 0.75, 0.66),
+                   max_distort=1):
+    """The MultiScaleCrop (w, h) candidate grid — shared by the cv2 and
+    PIL/Group reference families (consistency_transforms.py:395-414 ==
+    video_transforms.py:199-216): scale the short side, snap sizes within
+    3px of the target to it, keep pairs with |i-j| <= max_distort."""
+    base = min(H, W)
+    crop_sizes = [int(base * s) for s in scales]
+    crop_h_opts = [input_size[0] if abs(x - input_size[0]) < 3 else x
+                   for x in crop_sizes]
+    crop_w_opts = [input_size[1] if abs(x - input_size[1]) < 3 else x
+                   for x in crop_sizes]
+    return [(w, h)
+            for i, h in enumerate(crop_h_opts)
+            for j, w in enumerate(crop_w_opts)
+            if abs(i - j) <= max_distort]
+
+
 def multi_scale_crop(
     key: jax.Array, clip: jnp.ndarray, input_size: Tuple[int, int],
     scales=(1.0, 0.875, 0.75, 0.66), max_distort: int = 1,
@@ -367,16 +385,7 @@ def multi_scale_crop(
     grid (|i-j| <= max_distort), random one of the 13 fixed offsets, crop,
     resize to ``input_size``."""
     t, H, W, c = clip.shape
-    base = min(H, W)
-    crop_sizes = [int(base * s) for s in scales]
-    crop_h_opts = [input_size[0] if abs(x - input_size[0]) < 3 else x
-                   for x in crop_sizes]
-    crop_w_opts = [input_size[1] if abs(x - input_size[1]) < 3 else x
-                   for x in crop_sizes]
-    pairs = [(w, h)
-             for i, h in enumerate(crop_h_opts)
-             for j, w in enumerate(crop_w_opts)
-             if abs(i - j) <= max_distort]
+    pairs = msc_crop_pairs(H, W, input_size, scales, max_distort)
     pairs_arr = jnp.asarray(pairs, jnp.int32)        # (P, 2) [w, h]
 
     k_pair, k_off = jax.random.split(key)
