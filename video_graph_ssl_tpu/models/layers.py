@@ -20,6 +20,7 @@ Design notes (vs the reference, lib/modeling/backbone/backbone_3d/s3d_1.py):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Sequence, Tuple
 
 import jax
@@ -101,6 +102,22 @@ def max_pool_3d(x: jnp.ndarray, kernel_size, stride, padding=0) -> jnp.ndarray:
                                                          part)
             y = acc
         return y
+    # Strided pools keep the XLA lowering (SelectAndScatter gradient,
+    # 4.7 ms/step across S3D's four strided pools).  A Pallas two-pass
+    # argmax/phase-scatter backward (ops/pallas/maxpool_kernel.py:
+    # max_pool3d_strided) is exact vs torch incl. tie routing and is kept
+    # as a measured DEAD END: in the full fused step it costs 95.8 ->
+    # 206 ms/step (bench 1338 -> 621 clips/s) — the pallas_call pins
+    # batch-major layouts on x/y/dy that XLA otherwise keeps batch-minor
+    # here, forcing transposes that dwarf the SelectAndScatter saving
+    # (same failure mode as the stride-1 kernel, round 2).
+    # VGS_POOL_BWD=pallas re-enables it for remeasurement.
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("VGS_POOL_BWD") == "pallas"):
+        from ..ops.pallas.maxpool_kernel import max_pool3d_strided
+
+        return max_pool3d_strided(x, _triple(kernel_size), s,
+                                  _triple(padding))
     return max_pool_3d_ref(x, kernel_size, stride, padding)
 
 
@@ -164,11 +181,27 @@ class ConvBN(nn.Module):
         # (reference: VideoModelWrapper.train() override,
         # model_wrappers.py:130-146); affine params still receive grads.
         # dtype=self.dtype keeps the normalize/affine pass (and its
-        # backward) in bf16 — flax always computes the mean/var reductions
-        # and running stats in float32 regardless (normalization.py
-        # force_float32_reductions), so stability matches the fp32-BN
-        # convention while halving the elementwise HBM traffic, which
-        # dominates the big early-stage activations in the backward.
+        # backward) in bf16 — mean/var reductions and running stats stay
+        # float32 (matches flax normalization.py force_float32_reductions),
+        # so stability matches the fp32-BN convention while halving the
+        # elementwise HBM traffic, which dominates the big early-stage
+        # activations in the backward.
+        if os.environ.get("VGS_FUSED_BN", "1") != "0":
+            # single-pass-reduction BN with the ReLU folded into its VJP
+            # (ops/fused_bn.py) — the separate flax-BN lowering costs
+            # ~22 ms/step of reduce fusions + 6.6 ms of ReLU-mask selects
+            # across S3D's ~60 BNs (perf/profile_step.py, round 3)
+            from ..ops.fused_bn import FusedBatchNorm
+
+            return FusedBatchNorm(
+                use_running_average=(not train) or bn_frozen,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
+                relu=self.relu,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="bn",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=(not train) or bn_frozen,
             momentum=self.bn_momentum,

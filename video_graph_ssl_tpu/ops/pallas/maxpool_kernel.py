@@ -32,6 +32,7 @@ vector-register moves, never HBM traffic.
 from __future__ import annotations
 
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -150,3 +151,187 @@ def _mp_bwd(k, p, res, dy):
 
 
 max_pool3d_s1.defvjp(_mp_fwd, _mp_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# STRIDED max pool backward (the four inter-stage S3D/I3D pools).
+#
+# XLA lowers the strided pool gradient to SelectAndScatter too — profiled
+# 4.7 ms/step across S3D's four strided pools (pool_1/4: (1,3,3)/(1,2,2),
+# pool_7: 3^3/2, pool_13: 2^3/2) in the fused MoCo step.  Two passes, all
+# in VMEM:
+#   1. argmax pass: per output, the flat index of the FIRST tap equal to
+#      the window max (k^3 strided x reads) — exact PyTorch tie semantics,
+#      unlike SelectAndScatter's arbitrary pick.
+#   2. phase scatter: an input position j has stride-phase j mod s; only
+#      taps a ≡ j+p (mod s) connect it to outputs, each at a fixed shift
+#      delta=(a-p-phi)/s.  So per phase, dx is a stride-1 accumulation of
+#      dy over shifted slices gated by (argmax == tap), written back with
+#      one strided store.  (Dilation-based alternatives don't lower:
+#      Mosaic has no interior padding and no >2D gather.)
+# --------------------------------------------------------------------------- #
+
+def _edge_pad(z, pads, value):
+    cfg = [(pi, pi, 0) for pi in pads] + [(0, 0, 0)]
+    return jax.lax.pad(z, jnp.asarray(value, z.dtype), cfg)
+
+
+def _argmax_taps(x_ref, y, prefix, k, s, p):
+    """Per output position, the flat index of the FIRST window tap equal to
+    the window max — PyTorch's argmax tie convention (scan order t,h,w).
+
+    Taps read x through strided ``pl.Slice`` ref loads (Mosaic strided
+    load; strided *value* slices lower to an unsupported gather); border
+    outputs whose tap position falls in the padding get a NEG pad that can
+    never match the max.  Compares in fp32 (no bf16 vector compares on
+    v5e).
+    """
+    nsp = len(k)
+    full = x_ref.shape[len(prefix):len(prefix) + nsp]
+    cdim = x_ref.shape[-1]
+    ny = y.shape[:-1]
+    yf = y.astype(jnp.float32)
+    am = jnp.full(y.shape, -1, jnp.int32)
+    for ti, taps in enumerate(itertools.product(*[range(ki) for ki in k])):
+        o_lo, o_hi, starts = [], [], []
+        for a, pi, si, n, nyi in zip(taps, p, s, full, ny):
+            lo = max(0, -(-(pi - a) // si))
+            hi = min(nyi - 1, (n - 1 - a + pi) // si)
+            o_lo.append(lo)
+            o_hi.append(hi)
+            starts.append(lo * si + a - pi)
+        idx = tuple(pl.Slice(st, hi - lo + 1, si)
+                    for st, lo, hi, si in zip(starts, o_lo, o_hi, s))
+        xs = x_ref[prefix + idx + (slice(None),)].astype(jnp.float32)
+        cfg = [(lo, nyi - 1 - hi, 0)
+               for lo, hi, nyi in zip(o_lo, o_hi, ny)] + [(0, 0, 0)]
+        xs = jax.lax.pad(xs, jnp.float32(_NEG), cfg)
+        am = jnp.where((xs == yf) & (am < 0), ti, am)
+    return am
+
+
+def _phase_scatter(amp, dydp, dx_ref, prefix, k, s, p):
+    """dx[j] = dy[o] where j is output o's argmax tap, routed per stride
+    phase: input phase j mod s sees only taps a ≡ j+p (mod s), each at a
+    fixed output shift delta=(a-p-phi)/s — a stride-1 accumulation over
+    shifted slices of the edge-padded (am, dy)."""
+    nsp = len(k)
+    full = dx_ref.shape[len(prefix):len(prefix) + nsp]
+    cdim = dx_ref.shape[-1]
+    tap_index = {taps: ti for ti, taps in enumerate(
+        itertools.product(*[range(ki) for ki in k]))}
+    for phases in itertools.product(*[range(si) for si in s]):
+        nph = tuple(-(-(n - phi) // si)
+                    for n, phi, si in zip(full, phases, s))
+        idx = tuple(pl.Slice(phi, n, si)
+                    for phi, n, si in zip(phases, nph, s))
+        acc = jnp.zeros(nph + (cdim,), jnp.float32)
+        tap_sets = [[a for a in range(ki) if (a - pi) % si == phi]
+                    for ki, si, pi, phi in zip(k, s, p, phases)]
+        for taps in itertools.product(*tap_sets):
+            deltas = [(a - pi - phi) // si
+                      for a, pi, phi, si in zip(taps, p, phases, s)]
+            start = tuple(K - d for K, d in zip(k, deltas)) + (0,)
+            limit = tuple(K - d + n
+                          for K, d, n in zip(k, deltas, nph)) + (cdim,)
+            ams = jax.lax.slice(amp, start, limit)
+            ds = jax.lax.slice(dydp, start, limit)
+            acc = acc + jnp.where(ams == tap_index[taps],
+                                  ds.astype(jnp.float32), 0.0)
+        dx_ref[prefix + idx + (slice(None),)] = acc.astype(dx_ref.dtype)
+
+
+def _bwd_kernel_spatial(x_ref, y_ref, dy_ref, dx_ref, *, k, s, p):
+    # temporal window/stride == 1: one (H, W, Cb) slab per program
+    am = _argmax_taps(x_ref, y_ref[0, 0], (0, 0), k, s, p)
+    amp = _edge_pad(am, k, -1)
+    dydp = _edge_pad(dy_ref[0, 0], k, 0.0)
+    _phase_scatter(amp, dydp, dx_ref, (0, 0), k, s, p)
+
+
+def _bwd_kernel_full(x_ref, y_ref, dy_ref, dx_ref, *, k, s, p):
+    am = _argmax_taps(x_ref, y_ref[0], (0,), k, s, p)
+    amp = _edge_pad(am, k, -1)
+    dydp = _edge_pad(dy_ref[0], k, 0.0)
+    _phase_scatter(amp, dydp, dx_ref, (0,), k, s, p)
+
+
+def _strided_bwd(x, y, dy, k, s, p):
+    b, t, h, w, c = x.shape
+    _, t2, h2, w2, _ = y.shape
+    cb = min(c, LANE_BLOCK)
+    # Mosaic strided load/store is 32-bit only; x (phase reads) and dx
+    # (phase writes) go through fp32, y/dy stay in their dtype (full-block
+    # loads).  The conversions fuse into the surrounding XLA producers.
+    out_dtype = x.dtype
+    dy = dy.astype(y.dtype)
+    if x.dtype.itemsize < 4:
+        x = x.astype(jnp.float32)
+
+    if k[0] == 1 and s[0] == 1:
+        # spatial-only pools (pool_1 / pool_4): block over T as well — no
+        # temporal halo needed, and the 56^2 stage would blow VMEM otherwise
+        grid = (b, t, pl.cdiv(c, cb))
+        spec_x = pl.BlockSpec((1, 1, h, w, cb), lambda i, j, l: (i, j, 0, 0, l),
+                              memory_space=pltpu.VMEM)
+        spec_y = pl.BlockSpec((1, 1, h2, w2, cb),
+                              lambda i, j, l: (i, j, 0, 0, l),
+                              memory_space=pltpu.VMEM)
+        kern = functools.partial(_bwd_kernel_spatial, k=k[1:], s=s[1:],
+                                 p=p[1:])
+        blk = h * w * cb
+    else:
+        grid = (b, pl.cdiv(c, cb))
+        spec_x = pl.BlockSpec((1, t, h, w, cb), lambda i, l: (i, 0, 0, 0, l),
+                              memory_space=pltpu.VMEM)
+        spec_y = pl.BlockSpec((1, t2, h2, w2, cb),
+                              lambda i, l: (i, 0, 0, 0, l),
+                              memory_space=pltpu.VMEM)
+        kern = functools.partial(_bwd_kernel_full, k=k, s=s, p=p)
+        blk = t * h * w * cb
+
+    params = {}
+    # fp32 x + acc + dilated pads: budget ~14 fp32-equivalents of the block
+    if 14 * blk * 4 > 14 * 2**20:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2**20)
+    dx = pl.pallas_call(
+        kern, grid=grid, in_specs=[spec_x, spec_y, spec_y], out_specs=spec_x,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        **params,
+    )(x, y, dy)
+    return dx.astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def max_pool3d_strided(x: jnp.ndarray, kernel_size=(3, 3, 3),
+                       stride=(2, 2, 2), padding=(1, 1, 1)) -> jnp.ndarray:
+    """Strided 3D max pool on (B, T, H, W, C); PyTorch padding semantics.
+
+    HYBRID like :func:`max_pool3d_s1`: forward stays XLA reduce_window (it
+    fuses with producers); only the SelectAndScatter gradient is replaced
+    by the two-pass argmax/phase-scatter kernel.  Gradient ties route to
+    the FIRST tap in window scan order — PyTorch's argmax convention
+    (SelectAndScatter picks one arbitrary position)."""
+    return _reduce_window_strided(x, tuple(kernel_size), tuple(stride),
+                                  tuple(padding))
+
+
+def _reduce_window_strided(x, k, s, p):
+    from flax import linen as nn
+
+    return nn.max_pool(x, window_shape=k, strides=s,
+                       padding=[(pi, pi) for pi in p])
+
+
+def _mps_fwd(x, k, s, p):
+    y = _reduce_window_strided(x, k, s, p)
+    return y, (x, y)
+
+
+def _mps_bwd(k, s, p, res, dy):
+    x, y = res
+    return (_strided_bwd(x, y, dy, k, s, p),)
+
+
+max_pool3d_strided.defvjp(_mps_fwd, _mps_bwd)
