@@ -91,6 +91,42 @@ def build_step(variant, batch):
     return run
 
 
+def chrome_trace_report(tracedir, top, steps=3):
+    """Parse the .trace.json.gz chrome trace: per-op and per-family device
+    time (the xplane hlo_stats path needs tensorboard_plugin_profile +
+    a protoc-compatible tensorflow, broken in this image)."""
+    import collections
+    import gzip
+    import re as _re
+
+    traces = glob.glob(os.path.join(tracedir, "**", "*.trace.json.gz"),
+                       recursive=True)
+    ev = []
+    for t in traces:
+        d = json.load(gzip.open(t))
+        ev += [e for e in d.get("traceEvents", [])
+               if e.get("ph") == "X" and e.get("dur")
+               and not str(e.get("name", "")).startswith("$")
+               and "jit_" not in e.get("name", "")
+               and "Pjit" not in e.get("name", "")
+               and "asarray" not in e.get("name", "")
+               and not str(e.get("name", "")).isdigit()]
+    per_op = collections.defaultdict(float)
+    fam = collections.defaultdict(float)
+    cnt = collections.Counter()
+    for e in ev:
+        per_op[e["name"]] += e["dur"]
+        base = _re.sub(r"\.\d+$", "", e["name"])
+        fam[base] += e["dur"]
+        cnt[base] += 1
+    print(f"— per-family device time (/{steps} steps) —")
+    for n, t in sorted(fam.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"{t / steps / 1e3:9.3f} ms/step x{cnt[n] // steps:5d}  {n}")
+    print(f"— top individual ops —")
+    for n, t in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{t / steps / 1e3:9.3f} ms/step  {n}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="fb_only")
@@ -115,7 +151,16 @@ def main():
     xplanes = glob.glob(os.path.join(tracedir, "**", "*.xplane.pb"),
                         recursive=True)
     print(f"trace: {xplanes}", flush=True)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+    except Exception as e:                      # broken in some images
+        print(f"(hlo_stats converter unavailable: {e}; "
+              f"falling back to the chrome trace)", flush=True)
+        chrome_trace_report(tracedir, args.top)
+        if not args.keep:
+            import shutil
+            shutil.rmtree(tracedir, ignore_errors=True)
+        return
 
     data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "hlo_stats", {})
     if isinstance(data, bytes):

@@ -66,11 +66,15 @@ def measure(overrides, batch_size=128, iters=20):
     for _ in range(3):
         state, metrics = step(state, batch, 0.06)
     float(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch, 0.06)
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    # best of 3 windows, like bench.py: relay stalls only ever subtract
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, batch, 0.06)
+        float(metrics["loss"])
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
     del state, step
     return dt, batch_size / dt
 
@@ -79,7 +83,8 @@ REGIMES = {
     "moco": [],
     "simsiam": ["CONTRAST.MEM_TYPE", "simsiam"],
     "bank": ["CONTRAST.MEM_TYPE", "bank"],
-    "moco+graph": ["MODEL.AUG_FLAG", "True"],
+    # GRAPH.USE_PALLAS defaults True — pin both values explicitly
+    "moco+graph": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "False"],
     "moco+graph-pal": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "True"],
 }
 

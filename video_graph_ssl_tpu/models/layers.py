@@ -186,11 +186,15 @@ class ConvBN(nn.Module):
         # so stability matches the fp32-BN convention while halving the
         # elementwise HBM traffic, which dominates the big early-stage
         # activations in the backward.
-        if os.environ.get("VGS_FUSED_BN", "1") != "0":
-            # single-pass-reduction BN with the ReLU folded into its VJP
-            # (ops/fused_bn.py) — the separate flax-BN lowering costs
-            # ~22 ms/step of reduce fusions + 6.6 ms of ReLU-mask selects
-            # across S3D's ~60 BNs (perf/profile_step.py, round 3)
+        # VGS_FUSED_BN=1: custom-VJP BN with the ReLU folded into its
+        # backward (ops/fused_bn.py).  Kept as a measured NEUTRAL-to-worse
+        # alternative: the flax lowering's ~22 ms of reduce fusions +
+        # 6.6 ms of ReLU selects looked attackable, but bench says
+        # variadic-reduce stats 1205 clips/s, two-sum custom VJP 1315 vs
+        # flax 1338 — XLA already fuses the select/reduce chain as well as
+        # the hand-written backward does, and TPU's fast row-reduce only
+        # exists for single-operand reduces.
+        if os.environ.get("VGS_FUSED_BN", "0") == "1":
             from ..ops.fused_bn import FusedBatchNorm
 
             return FusedBatchNorm(
