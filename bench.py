@@ -26,6 +26,7 @@ value / 250.  BASELINE.json's north star is >=5x per-chip parity.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -58,7 +59,14 @@ def main():
         cfg.INPUT.VIDEO_LENGTH = 4
         cfg.TPU.COMPUTE_DTYPE = "float32"
 
-    batch_size = 128 if on_tpu else 8
+    # optional config overrides: python bench.py TPU.STEM_S2D True ...
+    # (the driver's bare `python bench.py` is the headline configuration)
+    if len(sys.argv) > 1:
+        cfg.merge_from_list(sys.argv[1:])
+
+    # VGS_BENCH_BS: batch-size experiments (the headline stays 128)
+    batch_size = (int(os.environ.get("VGS_BENCH_BS", "128"))
+                  if on_tpu else 8)
     t = int(cfg.INPUT.VIDEO_LENGTH)
     canvas = (int(cfg.INPUT.SCALE_SIZE[0]), int(cfg.INPUT.SCALE_SIZE[1]))
 

@@ -81,6 +81,8 @@ def measure(overrides, batch_size=128, iters=20):
 
 REGIMES = {
     "moco": [],
+    "moco+s2d": ["TPU.STEM_S2D", "full"],     # space-to-depth stem (exact)
+    "moco+s2d-sp": ["TPU.STEM_S2D", "spatial"],   # spatial conv only
     "simsiam": ["CONTRAST.MEM_TYPE", "simsiam"],
     "bank": ["CONTRAST.MEM_TYPE", "bank"],
     # GRAPH.USE_PALLAS defaults True — pin both values explicitly

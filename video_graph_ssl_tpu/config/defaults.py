@@ -188,6 +188,8 @@ _C.TPU.PARAM_DTYPE = "float32"           # master params
 _C.TPU.SYNC_BN = True                    # cross-replica batch stats (psum)
 _C.TPU.SHUFFLE_BN = False                # shard_map local-BN ShuffleBN for MoCo keys
 _C.TPU.REMAT = False                     # jax.checkpoint the backbone stages
+_C.TPU.STEM_S2D = "off"                  # S3D/S3DG space-to-depth stem:
+                                         # off | full | spatial (exact rewrite)
 _C.TPU.PREFETCH = 2                      # host->device pipeline depth
 _C.TPU.CKPT_BACKEND = "msgpack"          # msgpack (1 file) | orbax (sharded)
 _C.TPU.ASYNC_CKPT = False                # orbax only: commit in background

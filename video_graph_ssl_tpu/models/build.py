@@ -8,6 +8,7 @@ in the functional train state it is simply a second parameter pytree.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
@@ -19,7 +20,7 @@ from .i3dnon import i3d_res50_nonlocal
 from .inceptionv3 import INCEPTIONV3_FEATURE_DIM, inception_v3
 from .s3d import S3D, S3D_FEATURE_DIM
 from .tiny import TINY3D_FEATURE_DIM, Tiny3D
-from .wrappers import GraphWrapper, VideoModel
+from .wrappers import CmcWrapper, GraphWrapper, VideoModel
 
 # name -> (ctor, feature_dim, default graph-aug insertion points)
 # Aug points follow the reference defaults (visual_wrappers.py:113-124).
@@ -102,6 +103,19 @@ def encoder_cfg_from(cfg, aug_flag: bool,
     name = cfg.MODEL.BACKBONE
     btype = cfg.MODEL.BACKBONE_TYPE
     ctor, feat_dim, default_aug = _lookup_backbone(name, btype)
+    s2d = str(cfg.TPU.STEM_S2D).lower()
+    if s2d in ("true", "1", "full"):
+        s2d = "full"
+    elif s2d in ("false", "0", "off", "none", ""):
+        s2d = ""
+    if s2d:
+        if s2d not in ("full", "spatial"):
+            raise ValueError(f"TPU.STEM_S2D must be off|full|spatial, "
+                             f"got {cfg.TPU.STEM_S2D}")
+        if name not in ("S3D", "S3DG"):
+            raise ValueError(f"TPU.STEM_S2D only applies to S3D/S3DG, "
+                             f"got {name}")
+        ctor = functools.partial(ctor, stem_s2d=s2d)
     dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
     enc = dict(
         backbone_ctor=ctor,
@@ -131,6 +145,16 @@ def create_visual_model(cfg) -> Tuple[GraphWrapper, int]:
     enc_cfg, feat_dim = encoder_cfg_from(cfg, aug_flag=bool(cfg.MODEL.AUG_FLAG))
     mem_type = cfg.CONTRAST.MEM_TYPE
     hid_dim = int(cfg.CROSS.FEAT_DIM)
+    if cfg.CROSS.MODALITY != "visual":
+        # CMC: two-modality model (reference dispatches its memory on this
+        # key, lib/memory/build.py:7-11, but never builds the second
+        # encoder — see models.wrappers.CmcWrapper).
+        if mem_type not in ("moco", "bank"):
+            raise ValueError(
+                f"CROSS.MODALITY={cfg.CROSS.MODALITY!r} (CMC) supports "
+                f"moco/bank memories, not {mem_type!r}")
+        return CmcWrapper(encoder_cfg=enc_cfg, hid_dim=hid_dim,
+                          head_type=cfg.CROSS.HEAD_TYPE), feat_dim
     model = GraphWrapper(
         encoder_cfg=enc_cfg,
         hid_dim=hid_dim,

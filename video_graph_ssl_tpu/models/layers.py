@@ -162,7 +162,10 @@ class ConvBN(nn.Module):
         if isinstance(self.padding, str):
             pads = self.padding
         else:
-            pads = [(p, p) for p in self.padding]
+            # ints are symmetric (PyTorch semantics); (lo, hi) pairs pass
+            # through (needed by the space-to-depth stem's off-center pads)
+            pads = [tuple(p) if isinstance(p, (tuple, list)) else (p, p)
+                    for p in self.padding]
         kw = {}
         if self.kernel_init is not None:
             kw["kernel_init"] = self.kernel_init
@@ -290,6 +293,134 @@ class SepConv3d(nn.Module):
             param_dtype=self.param_dtype,
             name="temporal",
         )(x, train=train, bn_frozen=bn_frozen)
+        return x
+
+
+def space_to_depth_hw(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, W, C) -> (B, T, H/2, W/2, 4C); channel order (dh, dw, c)."""
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 2, 4, 3, 5, 6))
+    return x.reshape(b, t, h // 2, w // 2, 4 * c)
+
+
+def space_to_depth_t(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, W, C) -> (B, T/2, H, W, 2C); channel order (dt, c)."""
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t // 2, 2, h, w, c)
+    x = jnp.transpose(x, (0, 1, 3, 4, 2, 5))
+    return x.reshape(b, t // 2, h, w, 2 * c)
+
+
+def fold_stem_kernel_s2d(w, axes: str):
+    """Fold a k=7 stride-2 conv kernel into its space-to-depth equivalent.
+
+    A stride-2 pad-3 7-tap conv equals a stride-1 4-tap conv on the
+    2x-space-to-depth input with pads (2, 1): output o reads input
+    2o + j - 3 (tap j in 0..6); in block space that is block o + a - 2,
+    phase d, with j = 2a + d - 1 — only tap (a=0, d=0), j = -1, falls
+    outside the 7-tap support and is zero.  This mapping is EXACT (the
+    MLPerf-style trick, unlike the reference S3DG stem's approximate
+    (2,4,4) conv, /root/reference/lib/modeling/backbone/s3dg.py:297-315).
+
+    ``axes='hw'``: (1,7,7,C,F) -> (1,4,4,4C,F);
+    ``axes='t'``:  (7,1,1,C,F) -> (4,1,1,2C,F).
+    """
+    import numpy as np
+
+    w = np.asarray(w)
+    if axes == "hw":
+        _, kh, kw, c, f = w.shape
+        assert (kh, kw) == (7, 7), w.shape
+        out = np.zeros((1, 4, 4, 4 * c, f), w.dtype)
+        for a in range(4):
+            for dh in range(2):
+                jh = 2 * a + dh - 1
+                if not 0 <= jh < 7:
+                    continue
+                for bb in range(4):
+                    for dw in range(2):
+                        jw = 2 * bb + dw - 1
+                        if not 0 <= jw < 7:
+                            continue
+                        ch = (dh * 2 + dw) * c
+                        out[0, a, bb, ch:ch + c] = w[0, jh, jw]
+        return out
+    assert axes == "t"
+    kd, _, _, c, f = w.shape
+    assert kd == 7, w.shape
+    out = np.zeros((4, 1, 1, 2 * c, f), w.dtype)
+    for a in range(4):
+        for dt in range(2):
+            j = 2 * a + dt - 1
+            if not 0 <= j < 7:
+                continue
+            out[a, 0, 0, dt * c:(dt + 1) * c] = w[j, 0, 0]
+    return out
+
+
+class SepConvS2D(nn.Module):
+    """Space-to-depth S3D stem: SepConv3d(k=7, s=2, p=3) re-expressed as two
+    STRIDE-1 convs on space-to-depth inputs — exactly the same function given
+    ``fold_stem_kernel_s2d``-folded weights (BN/ReLU shapes are unchanged).
+
+    Why: the standard stem convolves 3 input channels with stride 2 — the
+    MXU tile pads Ci 3 -> 8 (62% wasted lanes) and the stride makes dx a
+    dilated transposed conv in the backward.  Space-to-depth moves the
+    stride into a free reshape: Ci becomes 12 (spatial) / 128 (temporal)
+    and both convs are stride-1, so forward and both backward contractions
+    are dense MXU matmuls.  Reference stem: s3d_1.py:50-69 (SepConv3d);
+    the trick itself appears in the reference only as the approximate S3DG
+    text-video stem (s3dg.py:297-315) — here it is exact and opt-in
+    (``TPU.STEM_S2D``), with checkpoint folding in utils/torch_interop.
+
+    Measured on v5e (full fused MoCo step, bs=128): full s2d 113.0 ms vs
+    96.1 baseline (the temporal block transpose is an extra HBM round trip
+    of the largest stem tensor); spatial-only 97.2 — neutral.  XLA's
+    small-channel stem conv is not a bottleneck on this architecture, so
+    the default stays off; the module remains for stem-swap experiments
+    and as the measured record (perf/regime_bench.py moco+s2d*).
+    """
+
+    features: int
+    temporal_bias: bool = False
+    # apply the trick to the temporal (7,1,1)/s2 conv too; measured SLOWER
+    # on v5e (the (B,T,56,56,64) block transpose is an extra HBM round
+    # trip of the largest stem tensor), kept for the record
+    temporal_s2d: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 bn_frozen: bool = False) -> jnp.ndarray:
+        b, t, h, w, c = x.shape
+        assert t % 2 == 0 and h % 2 == 0 and w % 2 == 0, x.shape
+        kw = dict(use_bias=self.temporal_bias, dtype=self.dtype,
+                  param_dtype=self.param_dtype)
+        x = space_to_depth_hw(x)
+        x = ConvBN(
+            features=self.features,
+            kernel_size=(1, 4, 4),
+            padding=(0, (2, 1), (2, 1)),
+            name="spatial",
+            **kw,
+        )(x, train=train, bn_frozen=bn_frozen)
+        tkw = dict(
+            kernel_init=(nn.initializers.normal(stddev=0.01)
+                         if self.temporal_bias else None),
+            name="temporal",
+            **kw,
+        )
+        if self.temporal_s2d:
+            x = space_to_depth_t(x)
+            x = ConvBN(kernel_size=(4, 1, 1), padding=((2, 1), 0, 0),
+                       features=self.features,
+                       **tkw)(x, train=train, bn_frozen=bn_frozen)
+        else:
+            x = ConvBN(kernel_size=(7, 1, 1), strides=(2, 1, 1),
+                       padding=(3, 0, 0), features=self.features,
+                       **tkw)(x, train=train, bn_frozen=bn_frozen)
         return x
 
 

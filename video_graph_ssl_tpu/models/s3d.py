@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.temporal_graph import TemporalGraphAug
-from .layers import BasicConv3d, InceptionBlock, SepConv3d, max_pool_3d
+from .layers import (BasicConv3d, InceptionBlock, SepConv3d, SepConvS2D,
+                     fold_stem_kernel_s2d, max_pool_3d)
 
 Dtype = Any
 
@@ -74,6 +75,14 @@ class S3D(nn.Module):
     # S3DG variant (reference S3DG_Pytorch.py:310-355): same topology,
     # biased temporal convs with Normal(0, 0.01) init ('STConv3d').
     temporal_bias: bool = False
+    # Space-to-depth stem (TPU.STEM_S2D): stage 0 becomes two stride-1
+    # convs on space-to-depth inputs — exactly the same function as
+    # SepConv3d(64, 7, 2, 3) under the fold_stem_kernel_s2d weight map
+    # (see layers.SepConvS2D; standard-stem checkpoints convert via
+    # stem_params_to_s2d).  Requires even T, H, W at the input.
+    # True/'full' = both convs; 'spatial' = spatial conv only (the
+    # temporal block transpose measured slower on v5e, see SepConvS2D).
+    stem_s2d: Any = False
     # Partial-BN (reference: VideoModelWrapper.train() override,
     # model_wrappers.py:130-146): when training downstream, BNs after the
     # first conv stage run on running statistics.  Stage-granular here
@@ -89,15 +98,23 @@ class S3D(nn.Module):
         gcfg = dict(self.graph_cfg or {})
 
         sep = SepConv3d
+        sep_s2d = SepConvS2D
         basic = BasicConv3d
         mixed = InceptionBlock
         if self.remat:
             sep = nn.remat(sep, static_argnums=(2, 3))
+            sep_s2d = nn.remat(sep_s2d, static_argnums=(2, 3))
             basic = nn.remat(basic, static_argnums=(2, 3))
             mixed = nn.remat(mixed, static_argnums=(2, 3))
 
+        if self.stem_s2d:
+            stem = lambda h, t, bf: sep_s2d(
+                64, temporal_s2d=(self.stem_s2d != "spatial"),
+                name="stem_0", **skw)(h, t, False)
+        else:
+            stem = lambda h, t, bf: sep(64, 7, 2, 3, name="stem_0", **skw)(h, t, False)
         stages = [
-            ("stem_0", lambda h, t, bf: sep(64, 7, 2, 3, name="stem_0", **skw)(h, t, False)),
+            ("stem_0", stem),
             ("pool_1", lambda h, t, bf: max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))),
             ("stem_2", lambda h, t, bf: basic(64, 1, name="stem_2", **kw)(h, t, bf)),
             ("stem_3", lambda h, t, bf: sep(192, 3, 1, 1, name="stem_3", **skw)(h, t, bf)),
@@ -155,3 +172,36 @@ class S3D(nn.Module):
     @property
     def feature_dim(self) -> int:
         return S3D_FEATURE_DIM
+
+
+def stem_params_to_s2d(params, mode: str = "full"):
+    """Convert a standard-stem S3D param tree to the ``stem_s2d`` layout:
+    every ``stem_0`` (at any nesting depth — raw backbone trees and
+    wrapper trees both work) gets its conv kernels folded with
+    ``fold_stem_kernel_s2d``; biases and BN leaves are unchanged (the stem's
+    intermediate tensors are identical).  ``mode='spatial'`` folds only the
+    spatial conv (for ``stem_s2d='spatial'``).  Returns a new tree."""
+    branches = ((("spatial", "hw"),) if mode == "spatial"
+                else (("spatial", "hw"), ("temporal", "t")))
+
+    def fold_stem(stem):
+        stem = dict(stem)
+        for branch, axes in branches:
+            sub = dict(stem[branch])
+            if "conv" not in sub:      # batch_stats subtree: BN stats only
+                continue
+            conv = dict(sub["conv"])
+            conv["kernel"] = jnp.asarray(
+                fold_stem_kernel_s2d(conv["kernel"], axes),
+                dtype=jnp.asarray(conv["kernel"]).dtype)
+            sub["conv"] = conv
+            stem[branch] = sub
+        return stem
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        return {k: fold_stem(v) if k == "stem_0" else walk(v)
+                for k, v in tree.items()}
+
+    return walk(params)

@@ -100,12 +100,15 @@ def strip_prefixes(sd: Dict[str, np.ndarray],
 def convert_torch_s3d(
     sd: Dict[str, np.ndarray],
     with_classifier: bool = False,
+    stem_s2d: bool = False,
 ) -> Tuple[dict, dict]:
     """Reference S3D state_dict -> (params, batch_stats) for models.s3d.S3D.
 
     ``sd`` keys are expected in the bare-S3D namespace (``base.N...``,
     ``fc.0....``); run :func:`strip_prefixes` first for wrapped checkpoints.
-    Raises KeyError listing what is missing.
+    Raises KeyError listing what is missing.  ``stem_s2d=True`` folds the
+    stem kernels for ``S3D(stem_s2d=True)`` (exact function equality — see
+    layers.fold_stem_kernel_s2d).
     """
     params: dict = {}
     stats: dict = {}
@@ -130,6 +133,11 @@ def convert_torch_s3d(
         params["fc"] = {"kernel": w.reshape(w.shape[0], w.shape[1]).T}
         if "fc.0.bias" in sd:
             params["fc"]["bias"] = np.asarray(sd["fc.0.bias"])
+    if stem_s2d:
+        from ..models.s3d import stem_params_to_s2d
+
+        params = stem_params_to_s2d(
+            params, mode="spatial" if stem_s2d == "spatial" else "full")
     return params, stats
 
 
