@@ -191,7 +191,11 @@ class Trainer:
     def run(self):
         for epoch in range(self.start_epoch, int(self.cfg.SOLVER.MAX_EPOCHS)):
             self.train(epoch)
-            if self.args.max_steps:
+            # --max_steps N runs N total steps, spanning epochs when the
+            # split is shorter than N steps (smoke runs break here after
+            # their first epoch exactly as before)
+            if self.args.max_steps and ((epoch + 1) * len(self.train_loader)
+                                        >= self.args.max_steps):
                 break
         from video_graph_ssl_tpu.utils import wait_for_async_checkpoints
         wait_for_async_checkpoints()  # commit in-flight orbax saves
