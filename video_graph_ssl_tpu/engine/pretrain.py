@@ -28,9 +28,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..memory.bank import bank_logits, bank_update
+from ..memory.bank import (bank_logits, bank_update, cmc_bank_logits,
+                           cmc_bank_update)
 from ..memory.criterion import nce_criterion, nce_softmax_loss
-from ..memory.moco import moco_enqueue, moco_logits
+from ..memory.moco import (cmc_moco_enqueue, cmc_moco_forward, moco_enqueue,
+                           moco_logits)
 from ..solver.build import set_learning_rate
 from .train_state import TrainState, ema_update
 
@@ -187,6 +189,85 @@ def make_bank_step(model, tx, K: int, T: float, m: float, n_data: int,
     return step
 
 
+# --------------------------------------------------------------------------- #
+# CMC (CROSS.MODALITY != 'visual'): two-modality contrast.  The reference
+# ships the CMC memories/criteria (mem_moco.py:91-142, mem_bank.py:93-154)
+# but its tools never wire them; here both regimes run end-to-end with the
+# RGB + temporal-difference modality pair (models.wrappers.CmcWrapper).
+# --------------------------------------------------------------------------- #
+def make_cmc_moco_step(model, tx, T: float, alpha: float) -> Callable:
+    """Four-stream CMC MoCo: q1/q2 from view 1 with grads, k1/k2 from view 2
+    via the EMA encoders; each modality scored against the OTHER modality's
+    keys+queue (reference: CMCMoCo.forward, mem_moco.py:101-142)."""
+    def step(state: TrainState, batch, lr) -> Tuple[TrainState, Dict]:
+        x1 = batch["clips"][:, 0]
+        x2 = batch["clips"][:, 1]
+
+        variables, kw = _apply_kwargs(state, state.ema_params,
+                                      state.ema_batch_stats, True)
+        (k1, k2), ema_muts = model.apply(variables, x2, **kw)
+        k1 = jax.lax.stop_gradient(k1)
+        k2 = jax.lax.stop_gradient(k2)
+
+        def loss_fn(params):
+            v, kw2 = _apply_kwargs(state, params, state.batch_stats, True)
+            (q1, q2), muts = model.apply(v, x1, **kw2)
+            l1, l2, labels = cmc_moco_forward(state.contrast, q1, k1, q2,
+                                              k2, T)
+            loss = nce_softmax_loss(l1) + nce_softmax_loss(l2)
+            return loss, (muts["batch_stats"], l1, l2, labels)
+
+        (loss, (new_bs, l1, l2, labels)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        contrast = cmc_moco_enqueue(state.contrast, k1, k2)
+        new_state = _update(
+            state, tx, grads, new_bs, lr,
+            ema_batch_stats=ema_muts["batch_stats"],
+            contrast=contrast,
+        )
+        new_state = new_state.replace(
+            ema_params=ema_update(new_state.params, state.ema_params, alpha))
+        # top-k over the modality-1 stream (reference logs one stream too)
+        metrics = {"loss": loss, **topk_accuracy(l1, labels)}
+        return new_state, metrics
+
+    return step
+
+
+def make_cmc_bank_step(model, tx, K: int, T: float, m: float, n_data: int,
+                       criterion: str = "crossentropy") -> Callable:
+    """Two-stream CMC bank NCE: each modality's features scored against the
+    other modality's memory rows (reference: CMCMem.forward,
+    mem_bank.py:107-141); both memories EMA-updated with the batch."""
+    def step(state: TrainState, batch, lr) -> Tuple[TrainState, Dict]:
+        x = batch["clips"][:, 0]
+        index = batch["index"]
+        sample_key = jax.random.fold_in(
+            jax.random.fold_in(state.rng, state.step), 7)
+
+        def loss_fn(params):
+            v, kw = _apply_kwargs(state, params, state.batch_stats, True)
+            (f1, f2), muts = model.apply(v, x, **kw)
+            l1, l2, labels = cmc_bank_logits(state.contrast, f1, f2, index,
+                                             sample_key, K, T)
+            if criterion == "NCE":
+                loss = nce_criterion(l1, n_data) + nce_criterion(l2, n_data)
+            else:
+                loss = nce_softmax_loss(l1) + nce_softmax_loss(l2)
+            return loss, (muts["batch_stats"], f1, f2, l1, labels)
+
+        (loss, (new_bs, f1, f2, l1, labels)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        contrast = cmc_bank_update(state.contrast, f1, f2, index, m)
+        new_state = _update(state, tx, grads, new_bs, lr, contrast=contrast)
+        metrics = {"loss": loss, **topk_accuracy(l1, labels)}
+        return new_state, metrics
+
+    return step
+
+
 def make_fused_pretrain_step(cfg, model, tx, n_data: int = 0,
                              mesh=None) -> Callable:
     """Pretrain step with the SSL augmentation chain fused into the same
@@ -214,6 +295,19 @@ def make_pretrain_step(cfg, model, tx, n_data: int = 0,
     """Dispatch on CONTRAST.MEM_TYPE (reference: train dispatch,
     train_video_contrast_dis.py:259-268)."""
     mem_type = cfg.CONTRAST.MEM_TYPE
+    if cfg.CROSS.MODALITY != "visual":
+        # CMC regimes (reference memory dispatch: lib/memory/build.py:5-13)
+        if mem_type == "moco":
+            return make_cmc_moco_step(model, tx, float(cfg.CONTRAST.NCE_T),
+                                      float(cfg.CONTRAST.ALPHA))
+        if mem_type == "bank":
+            return make_cmc_bank_step(
+                model, tx, K=int(cfg.CONTRAST.NCE_K),
+                T=float(cfg.CONTRAST.NCE_T), m=float(cfg.CONTRAST.NCE_M),
+                n_data=int(n_data), criterion=cfg.CROSS.CRITERION)
+        raise NotImplementedError(
+            f"CMC (CROSS.MODALITY={cfg.CROSS.MODALITY!r}) supports "
+            f"moco/bank, not {mem_type!r}")
     if mem_type == "simsiam":
         return make_simsiam_step(model, tx)
     if mem_type == "moco":

@@ -13,9 +13,9 @@ from typing import Callable, Optional
 
 import jax
 
-from .bank import init_bank
+from .bank import init_bank, init_cmc_bank
 from .criterion import nce_criterion, nce_softmax_loss
-from .moco import init_moco
+from .moco import init_cmc_moco, init_moco
 
 
 def create_contrast(cfg, n_data: int, feat_dim: Optional[int] = None,
@@ -29,10 +29,15 @@ def create_contrast(cfg, n_data: int, feat_dim: Optional[int] = None,
     dim = int(feat_dim if feat_dim is not None else cfg.CROSS.FEAT_DIM)
     if key is None:
         key = jax.random.key(int(cfg.MODEL.SEED))
+    cmc = cfg.CROSS.MODALITY != "visual"
+    # reference: RGBMem/RGBMoCo vs CMCMem/CMCMoCo on CROSS.MODALITY
+    # (lib/memory/build.py:5-13)
     if mem_type == "moco":
-        return init_moco(key, int(cfg.CONTRAST.NCE_K), dim)
+        init = init_cmc_moco if cmc else init_moco
+        return init(key, int(cfg.CONTRAST.NCE_K), dim)
     if mem_type == "bank":
-        return init_bank(key, int(n_data), dim)
+        init = init_cmc_bank if cmc else init_bank
+        return init(key, int(n_data), dim)
     if mem_type == "simsiam":
         return None
     raise ValueError(f"Unknown CONTRAST.MEM_TYPE: {mem_type}")

@@ -16,12 +16,14 @@ from .i3dnon import I3DResNetNonLocal, NonLocalBlock3D
 from .s3dg_text import (S3DGText, SelfGating, SentenceEmbedding,
                         build_word_to_token, space_to_depth_3d, tokenize)
 from .wrappers import (
+    CmcWrapper,
     ContrastWrapper,
     GraphWrapper,
     SimSiam,
     VideoModel,
     VisualEncoder,
     simsiam_d,
+    temporal_diff,
 )
 
 __all__ = [
@@ -34,5 +36,5 @@ __all__ = [
     "S3DGText", "SelfGating", "SentenceEmbedding",
     "build_word_to_token", "tokenize", "space_to_depth_3d",
     "VisualEncoder", "ContrastWrapper", "SimSiam", "GraphWrapper",
-    "VideoModel", "simsiam_d",
+    "CmcWrapper", "temporal_diff", "VideoModel", "simsiam_d",
 ]

@@ -163,6 +163,52 @@ def simsiam_d(p: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(jnp.sum(p * z, axis=-1))
 
 
+def temporal_diff(x: jnp.ndarray) -> jnp.ndarray:
+    """Second CMC modality stream: adjacent-frame differences along T,
+    front-padded with the first difference so the clip shape is preserved
+    (both CMC encoders then share one input geometry).  The reference
+    defines CMC memories/criteria but never a modality pair — its tools
+    never build the second encoder (lib/memory/build.py:7-11 dispatches,
+    tools/train_video_contrast_dis.py never branches) — so the pair here
+    is RGB + temporal difference, the TSN 'RGBDiff' idea on the time axis
+    (reference model_wrappers.py:41-45 uses the channel-stacked variant
+    for 2D nets)."""
+    d = x[:, 1:] - x[:, :-1]
+    return jnp.concatenate([d[:, :1], d], axis=1)
+
+
+class CmcWrapper(nn.Module):
+    """Two-modality CMC model (CROSS.MODALITY != 'visual').
+
+    One full encoder+head stack per modality (``model_1`` = RGB,
+    ``model_2`` = temporal difference); ``__call__`` encodes ONE clip batch
+    ``(B, T, H, W, C)`` through both and returns L2-normalized
+    ``(f1, f2)``.  The CMC steps (engine/pretrain.py) call it once per
+    view — query pass with grads, EMA key pass — exactly the four-stream
+    contract of the reference's CMCMoCo (mem_moco.py:101-142) and the
+    two-stream one of CMCMem (mem_bank.py:107-141)."""
+
+    encoder_cfg: Dict[str, Any]
+    hid_dim: int = 128
+    head_type: str = "mlp"
+
+    def setup(self):
+        self.model_1 = ContrastWrapper(self.encoder_cfg, self.hid_dim,
+                                       self.head_type, name="model_1")
+        self.model_2 = ContrastWrapper(self.encoder_cfg, self.hid_dim,
+                                       self.head_type, name="model_2")
+
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        f1 = self.model_1(x, train=train)
+        f2 = self.model_2(temporal_diff(x), train=train)
+        return f1, f2
+
+    def encode(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Feature extraction for retrieval/downstream: modality-1 encoder
+        (the RGB stream is what downstream evaluation consumes)."""
+        return self.model_1.encode(x, train=train)
+
+
 class GraphWrapper(nn.Module):
     """Dispatch on MEM_TYPE: SimSiam for 'simsiam', ContrastWrapper otherwise
     (reference: graph_wrappers.py:110-120)."""
