@@ -135,6 +135,57 @@ def test_moco_step_on_8_device_mesh():
     assert "SHARDING_OK" in out.stdout, out.stdout + "\n" + out.stderr
 
 
+CMC_SCRIPT = r"""
+import numpy as np, jax, jax.numpy as jnp
+assert len(jax.devices()) == 8, jax.devices()
+import sys; sys.path.insert(0, %(repo)r)
+from video_graph_ssl_tpu.config import cfg as CFG
+from video_graph_ssl_tpu.models import create_visual_model
+from video_graph_ssl_tpu.engine import create_pretrain_state, make_pretrain_step
+from video_graph_ssl_tpu.parallel import make_mesh, shard_batch, replicate_state
+
+cfg = CFG.clone()
+cfg.MODEL.BACKBONE = 'tiny3d'; cfg.MODEL.BACKBONE_TYPE = '3D'
+cfg.MODEL.DROPOUT = 0.0
+cfg.CONTRAST.MEM_TYPE = 'moco'; cfg.CONTRAST.NCE_K = 32
+cfg.CROSS.FEAT_DIM = 16; cfg.CROSS.MODALITY = 'cross'
+cfg.TPU.COMPUTE_DTYPE = 'float32'
+
+mesh = make_mesh((-1,), ('data',))
+model, _ = create_visual_model(cfg)
+B, T, H, W = 16, 4, 16, 16
+example = jnp.zeros((2, T, H, W, 3), jnp.float32)
+state, tx = create_pretrain_state(cfg, model, example, n_data=64)
+state = replicate_state(state, mesh)
+step = jax.jit(make_pretrain_step(cfg, model, tx), donate_argnums=0)
+
+batch = {'clips': np.random.default_rng(0).normal(size=(B, 2, T, H, W, 3)).astype(np.float32),
+         'label': np.zeros(B, np.int32), 'index': np.arange(B, dtype=np.int32)}
+batch = shard_batch(batch, mesh)
+state, metrics = step(state, batch, 0.1)
+loss = float(metrics['loss'])
+assert np.isfinite(loss)
+# both CMC queues saw the GLOBAL key batch
+assert int(state.contrast.ptr) == B
+assert len(jax.tree_util.tree_leaves(state.params)[0].sharding.device_set) == 8
+print('CMC_SHARDING_OK', loss)
+"""
+
+
+@pytest.mark.slow
+def test_cmc_moco_step_on_8_device_mesh():
+    """CMC (two-modality) step under the data mesh: dual queues enqueue
+    the global key batch, state stays replicated."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""  # bypass axon sitecustomize
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_NUM_CPU_DEVICES"] = "8"
+    script = CMC_SCRIPT % {"repo": REPO}
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=1200)
+    assert "CMC_SHARDING_OK" in out.stdout, out.stdout + "\n" + out.stderr
+
+
 def test_pad_batch_to_multiple():
     import numpy as np
     from video_graph_ssl_tpu.parallel import pad_batch_to_multiple
