@@ -95,6 +95,23 @@ def test_cmc_moco_step(tiny_cfg):
     assert losses[-1] < losses[0]
 
 
+def test_cmc_checkpoint_downstream_surgery(tiny_cfg):
+    """transfer_encoder_params picks the modality-1 encoder out of a CMC
+    checkpoint tree (downstream fine-tune from CMC pretraining)."""
+    import jax
+    from video_graph_ssl_tpu.utils.checkpoint import transfer_encoder_params
+
+    c, state, step, batch = _setup(tiny_cfg, "moco")
+    ssl_sd = {"params": state.params, "batch_stats": state.batch_stats}
+    target_p = {"encoder": None, "new_fc": {"kernel": np.ones((2, 2))}}
+    new_p, new_s = transfer_encoder_params(ssl_sd, target_p, {})
+    ssl_leaf = jax.tree_util.tree_leaves(
+        state.params["model_1"]["encoder"])[0]
+    got_leaf = jax.tree_util.tree_leaves(new_p["encoder"])[0]
+    np.testing.assert_allclose(np.asarray(ssl_leaf), np.asarray(got_leaf))
+    np.testing.assert_allclose(new_p["new_fc"]["kernel"], 1.0)
+
+
 def test_cmc_bank_step(tiny_cfg):
     # criterion fixed to crossentropy: the reference feeds RAW (dot/T)
     # scores into NCECriterion (mem_bank.py:30-40 + criterion.py:8-31),

@@ -189,12 +189,16 @@ def transfer_encoder_params(
     strips the 'encoder.' prefix and drops proj_head).
 
     SSL layouts: params['model']['encoder'] holds the VisualEncoder for both
-    SimSiam and ContrastWrapper (see models.wrappers.GraphWrapper).
+    SimSiam and ContrastWrapper (see models.wrappers.GraphWrapper); CMC
+    checkpoints (CROSS.MODALITY != 'visual') carry two stacks and the
+    modality-1 (RGB) encoder params['model_1']['encoder'] is what
+    downstream consumes.
     """
     params = ssl_state_dict["params"]
     stats = ssl_state_dict.get("batch_stats", {})
-    enc_params = params["model"]["encoder"]
-    enc_stats = stats.get("model", {}).get("encoder", {})
+    root = "model_1" if "model_1" in params else "model"
+    enc_params = params[root]["encoder"]
+    enc_stats = stats.get(root, {}).get("encoder", {})
 
     new_params = dict(target_params)
     new_params["encoder"] = enc_params
