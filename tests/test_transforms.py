@@ -188,3 +188,23 @@ def test_random_crop():
         np.array_equal(src[:, y:y + 8, x:x + 10, :], got)
         for y in range(13) for x in range(15))
     assert found
+
+
+def test_temporal_shuffle():
+    """Frames permute as wholes (reference VideoTemporalShuffle is broken:
+    it permutes the (T*C, H, W) post-ToTensor axis, interleaving channels
+    — fixed to intended semantics, consistency_transforms.py:553-558)."""
+    import jax
+    from video_graph_ssl_tpu.data.transforms_device import temporal_shuffle
+
+    clip = jnp.arange(6 * 2 * 2 * 3, dtype=jnp.float32).reshape(6, 2, 2, 3)
+    out = jax.jit(temporal_shuffle)(jax.random.key(3), clip)
+    assert out.shape == clip.shape
+    # each output frame is exactly one input frame (no channel mixing)
+    inset = {tuple(np.asarray(f).ravel()) for f in clip}
+    outset = {tuple(np.asarray(f).ravel()) for f in out}
+    assert inset == outset
+    # and some key actually permutes (6! orders; key 3 must not be identity
+    # AND shuffle must be deterministic under jit)
+    out2 = jax.jit(temporal_shuffle)(jax.random.key(3), clip)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))

@@ -456,6 +456,20 @@ def train_augment(
     return normalize(clip, mean, std)
 
 
+def temporal_shuffle(key: jax.Array, clip: jnp.ndarray) -> jnp.ndarray:
+    """Randomly permute the frame (T) axis of a (T, H, W, C) clip.
+
+    Reference: VideoTemporalShuffle (consistency_transforms.py:553-558),
+    which is latently broken — it permutes axis 0 of the POST-ToTensor
+    (T*C, H, W) array for 2D models, interleaving channels across frames.
+    Fixed to intended behavior here (frames move as wholes; SURVEY.md §4
+    convention), channels-last layout.  Unused by the shipped pipelines,
+    exactly like the reference; available for temporal-order pretext
+    tasks (jigsaw-style)."""
+    perm = jax.random.permutation(key, clip.shape[0])
+    return clip[perm]
+
+
 def eval_transform(clip: jnp.ndarray, scale_hw, crop_hw, mean, std) -> jnp.ndarray:
     """Eval chain (reference: build_transform_cv2 val): Resize → CenterCrop
     → Normalize.  Fully static — no rng."""
