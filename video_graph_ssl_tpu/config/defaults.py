@@ -190,6 +190,10 @@ _C.TPU.SHUFFLE_BN = False                # shard_map local-BN ShuffleBN for MoCo
 _C.TPU.REMAT = False                     # jax.checkpoint the backbone stages
 _C.TPU.STEM_S2D = "off"                  # S3D/S3DG space-to-depth stem:
                                          # off | full | spatial (exact rewrite)
+_C.TPU.PACK_POINTWISE = False            # S3D/S3DG: fuse each inception
+                                         # block's three sibling 1x1x1 convs
+                                         # into one MXU matmul (same math,
+                                         # same checkpoint tree)
 _C.TPU.PREFETCH = 2                      # host->device pipeline depth
 _C.TPU.CKPT_BACKEND = "msgpack"          # msgpack (1 file) | orbax (sharded)
 _C.TPU.ASYNC_CKPT = False                # orbax only: commit in background

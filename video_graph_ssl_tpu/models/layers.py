@@ -424,12 +424,95 @@ class SepConvS2D(nn.Module):
         return x
 
 
+class _PointwiseKernel(nn.Module):
+    """Param-only stand-in for ConvBN's ``nn.Conv`` child: declares the same
+    'kernel' parameter (name, shape, init, dtype) without computing, so a
+    parent can pack several sibling 1x1x1 convolutions into one MXU matmul
+    while the checkpoint tree stays byte-identical to the unpacked path."""
+
+    features: int
+    in_features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        from flax.linen.linear import default_kernel_init
+
+        return self.param("kernel", default_kernel_init,
+                          (1, 1, 1, self.in_features, self.features),
+                          self.param_dtype)
+
+
+class _PointwiseBlock(nn.Module):
+    """ConvBN-shaped param/BN holder for the packed-pointwise path: child
+    names ('conv', 'bn') and hyperparameters match ConvBN exactly; the conv
+    itself runs packed in the parent (see InceptionBlock.pack_pointwise)."""
+
+    features: int
+    in_features: int
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.999
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.conv = _PointwiseKernel(self.features, self.in_features,
+                                     param_dtype=self.param_dtype,
+                                     name="conv")
+        self.bn = nn.BatchNorm(momentum=self.bn_momentum,
+                               epsilon=self.bn_eps,
+                               dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="bn")
+
+    def kernel(self) -> jnp.ndarray:
+        return self.conv()
+
+    def tail(self, y: jnp.ndarray, train: bool,
+             bn_frozen: bool) -> jnp.ndarray:
+        y = self.bn(y, use_running_average=(not train) or bn_frozen)
+        return nn.relu(y.astype(self.dtype))
+
+
+class _PackedBasic(nn.Module):
+    """BasicConv3d-shaped wrapper (child 'block') for packed 1x1x1 convs."""
+
+    features: int
+    in_features: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.block = _PointwiseBlock(self.features, self.in_features,
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="block")
+
+    def kernel(self) -> jnp.ndarray:
+        return self.block.kernel()
+
+    def tail(self, y: jnp.ndarray, train: bool,
+             bn_frozen: bool) -> jnp.ndarray:
+        return self.block.tail(y, train, bn_frozen)
+
+
 class InceptionBlock(nn.Module):
     """Parameterized S3D Inception block.
 
     One module replaces the reference's nine near-identical Mixed_* classes
     (s3d_1.py:71-329): branch0 = 1x1x1 BasicConv; branch1/2 = 1x1x1 reduce +
     3x3x3 SepConv; branch3 = 3x3x3 maxpool + 1x1x1 BasicConv; channel concat.
+
+    ``pack_pointwise`` (TPU.PACK_POINTWISE): compute branch0 + the two
+    reduce convs as ONE 1x1x1 convolution over concatenated output channels,
+    then split and run each branch's own BN+ReLU.  Identical math and an
+    identical parameter tree (verified by tests/test_pack_pointwise.py) —
+    but one well-shaped MXU matmul instead of three skinny ones: the b2
+    reduce conv is as narrow as 16-48 output channels (lane tile pads to
+    128, so up to 87% of the MXU columns idle), while the packed widths
+    (e.g. mixed_4c 160+112+24=296, mixed_5c 384+192+48=624) fill the tiles.
+    branch3's pointwise conv reads the pooled tensor, not x, so it cannot
+    join the pack.
     """
 
     b0: int
@@ -437,6 +520,7 @@ class InceptionBlock(nn.Module):
     b2: Tuple[int, int]
     b3: int
     temporal_bias: bool = False
+    pack_pointwise: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -446,10 +530,26 @@ class InceptionBlock(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         skw = dict(temporal_bias=self.temporal_bias, **kw)
         bf = dict(train=train, bn_frozen=bn_frozen)
-        x0 = BasicConv3d(self.b0, 1, name="branch0", **kw)(x, **bf)
-        x1 = BasicConv3d(self.b1[0], 1, name="branch1_reduce", **kw)(x, **bf)
+        if self.pack_pointwise:
+            cin = x.shape[-1]
+            pw0 = _PackedBasic(self.b0, cin, name="branch0", **kw)
+            pw1 = _PackedBasic(self.b1[0], cin, name="branch1_reduce", **kw)
+            pw2 = _PackedBasic(self.b2[0], cin, name="branch2_reduce", **kw)
+            kpack = jnp.concatenate(
+                [pw.kernel() for pw in (pw0, pw1, pw2)],
+                axis=-1).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kpack, (1, 1, 1), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            c0, c1 = self.b0, self.b0 + self.b1[0]
+            x0 = pw0.tail(y[..., :c0], train, bn_frozen)
+            x1 = pw1.tail(y[..., c0:c1], train, bn_frozen)
+            x2 = pw2.tail(y[..., c1:], train, bn_frozen)
+        else:
+            x0 = BasicConv3d(self.b0, 1, name="branch0", **kw)(x, **bf)
+            x1 = BasicConv3d(self.b1[0], 1, name="branch1_reduce", **kw)(x, **bf)
+            x2 = BasicConv3d(self.b2[0], 1, name="branch2_reduce", **kw)(x, **bf)
         x1 = SepConv3d(self.b1[1], 3, padding=1, name="branch1", **skw)(x1, **bf)
-        x2 = BasicConv3d(self.b2[0], 1, name="branch2_reduce", **kw)(x, **bf)
         x2 = SepConv3d(self.b2[1], 3, padding=1, name="branch2", **skw)(x2, **bf)
         x3 = max_pool_3d(x, 3, 1, 1)
         x3 = BasicConv3d(self.b3, 1, name="branch3", **kw)(x3, **bf)

@@ -83,6 +83,10 @@ class S3D(nn.Module):
     # True/'full' = both convs; 'spatial' = spatial conv only (the
     # temporal block transpose measured slower on v5e, see SepConvS2D).
     stem_s2d: Any = False
+    # Pack each inception block's branch0 + reduce 1x1x1 convs into one
+    # MXU matmul (TPU.PACK_POINTWISE; see layers.InceptionBlock) — same
+    # math, same checkpoint tree.
+    pack_pointwise: bool = False
     # Partial-BN (reference: VideoModelWrapper.train() override,
     # model_wrappers.py:130-146): when training downstream, BNs after the
     # first conv stage run on running statistics.  Stage-granular here
@@ -146,8 +150,9 @@ class S3D(nn.Module):
                 x = fn(x, train, bn_frozen)
             else:
                 b0, b1, b2, b3 = _MIXED_SPECS[name]
-                x = mixed(b0, b1, b2, b3, name=name, **skw)(x, train,
-                                                            bn_frozen)
+                x = mixed(b0, b1, b2, b3, name=name,
+                          pack_pointwise=self.pack_pointwise,
+                          **skw)(x, train, bn_frozen)
 
         # Reference head pooling (s3d_1.py:28-35, S3DG_Pytorch.py:331-347):
         # avg_pool3d((2, H, W), stride 1) then mean over the remaining
