@@ -129,13 +129,38 @@ def test_s3d_checkpoint_compatible_both_ways():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_config_gate_rejects_non_s3d():
+def test_i3d_block_packed_matches_unpacked():
+    """I3DMixed: identical tree values, forward, and BN-stat updates."""
+    import jax
+    import jax.numpy as jnp
+    from video_graph_ssl_tpu.models.i3d import I3DMixed
+
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 4, 8, 8, 16)),
+        jnp.float32)
+    kw = dict(dtype=jnp.float32, param_dtype=jnp.float32, **BLOCK_KW)
+    m_u = I3DMixed(pack_pointwise=False, **kw)
+    m_p = I3DMixed(pack_pointwise=True, **kw)
+    vu = jax.jit(m_u.init)(jax.random.key(3), x)
+    vp = jax.jit(m_p.init)(jax.random.key(3), x)
+    _tree_eq(vu, vp)
+    y_u, mu = m_u.apply(vu, x, True, mutable=["batch_stats"])
+    y_p, mp = m_p.apply(vu, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_u), np.asarray(y_p),
+                               rtol=1e-6, atol=1e-6)
+    for (p, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(mu),
+                              jax.tree_util.tree_leaves_with_path(mp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(p))
+
+
+def test_config_gate_rejects_non_inception():
     from video_graph_ssl_tpu.config import cfg as CFG
     from video_graph_ssl_tpu.models.build import encoder_cfg_from
 
     cfg = CFG.clone()
     cfg.MODEL.BACKBONE_TYPE = "3D"
-    cfg.MODEL.BACKBONE = "I3D"
+    cfg.MODEL.BACKBONE = "resnet3d_18"
     cfg.TPU.PACK_POINTWISE = True
     with pytest.raises(ValueError, match="PACK_POINTWISE"):
         encoder_cfg_from(cfg, aug_flag=False)

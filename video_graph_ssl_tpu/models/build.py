@@ -117,9 +117,9 @@ def encoder_cfg_from(cfg, aug_flag: bool,
                              f"got {name}")
         ctor = functools.partial(ctor, stem_s2d=s2d)
     if bool(cfg.TPU.PACK_POINTWISE):
-        if name not in ("S3D", "S3DG"):
-            raise ValueError(f"TPU.PACK_POINTWISE only applies to S3D/S3DG, "
-                             f"got {name}")
+        if name not in ("S3D", "S3DG", "I3D", "InceptionI3d"):
+            raise ValueError(f"TPU.PACK_POINTWISE only applies to the "
+                             f"S3D/S3DG/I3D inception family, got {name}")
         ctor = functools.partial(ctor, pack_pointwise=True)
     dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
     enc = dict(

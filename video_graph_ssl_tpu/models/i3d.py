@@ -16,10 +16,12 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.temporal_graph import TemporalGraphAug
+from .layers import _PointwiseKernel
 from .s3d import _MIXED_SPECS
 
 Dtype = Any
@@ -53,24 +55,72 @@ class Unit3D(nn.Module):
         return nn.relu(x.astype(self.dtype))
 
 
+class _PackedUnit(nn.Module):
+    """Unit3D-shaped param/BN holder for the packed-pointwise path: child
+    names ('conv', 'bn') and hyperparameters match Unit3D exactly; the 1x1x1
+    conv itself runs packed in I3DMixed (see InceptionBlock.pack_pointwise
+    in layers.py for the rationale — identical trick, I3D tree layout)."""
+
+    features: int
+    in_features: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.conv = _PointwiseKernel(self.features, self.in_features,
+                                     param_dtype=self.param_dtype,
+                                     name="conv")
+        self.bn = nn.BatchNorm(momentum=0.999, epsilon=1e-3,
+                               dtype=jnp.float32,
+                               param_dtype=self.param_dtype, name="bn")
+
+    def kernel(self) -> jnp.ndarray:
+        return self.conv()
+
+    def tail(self, y: jnp.ndarray, train: bool) -> jnp.ndarray:
+        y = self.bn(y, use_running_average=not train)
+        return nn.relu(y.astype(self.dtype))
+
+
 class I3DMixed(nn.Module):
     """Inception block with full 3D 3x3x3 branch convs
-    (reference: Mixed, i3dpt.py:124-158)."""
+    (reference: Mixed, i3dpt.py:124-158).
+
+    ``pack_pointwise``: branch0 + the two reduce convs as ONE 1x1x1
+    convolution (same math, same checkpoint tree; see
+    layers.InceptionBlock.pack_pointwise)."""
 
     b0: int
     b1: Tuple[int, int]
     b2: Tuple[int, int]
     b3: int
+    pack_pointwise: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x0 = Unit3D(self.b0, (1, 1, 1), name="branch0", **kw)(x, train)
-        x1 = Unit3D(self.b1[0], (1, 1, 1), name="branch1_reduce", **kw)(x, train)
+        if self.pack_pointwise:
+            cin = x.shape[-1]
+            pw0 = _PackedUnit(self.b0, cin, name="branch0", **kw)
+            pw1 = _PackedUnit(self.b1[0], cin, name="branch1_reduce", **kw)
+            pw2 = _PackedUnit(self.b2[0], cin, name="branch2_reduce", **kw)
+            kpack = jnp.concatenate(
+                [pw.kernel() for pw in (pw0, pw1, pw2)],
+                axis=-1).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kpack, (1, 1, 1), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            c0, c1 = self.b0, self.b0 + self.b1[0]
+            x0 = pw0.tail(y[..., :c0], train)
+            x1 = pw1.tail(y[..., c0:c1], train)
+            x2 = pw2.tail(y[..., c1:], train)
+        else:
+            x0 = Unit3D(self.b0, (1, 1, 1), name="branch0", **kw)(x, train)
+            x1 = Unit3D(self.b1[0], (1, 1, 1), name="branch1_reduce", **kw)(x, train)
+            x2 = Unit3D(self.b2[0], (1, 1, 1), name="branch2_reduce", **kw)(x, train)
         x1 = Unit3D(self.b1[1], (3, 3, 3), name="branch1", **kw)(x1, train)
-        x2 = Unit3D(self.b2[0], (1, 1, 1), name="branch2_reduce", **kw)(x, train)
         x2 = Unit3D(self.b2[1], (3, 3, 3), name="branch2", **kw)(x2, train)
         x3 = _same_max_pool(x, (3, 3, 3), (1, 1, 1))
         x3 = Unit3D(self.b3, (1, 1, 1), name="branch3", **kw)(x3, train)
@@ -86,6 +136,9 @@ class I3D(nn.Module):
     aug_points: Tuple[int, ...] = ()
     graph_cfg: Optional[Dict[str, Any]] = None
     remat: bool = False
+    # Pack each inception block's branch0 + reduce 1x1x1 convs into one
+    # MXU matmul (TPU.PACK_POINTWISE; same math, same checkpoint tree).
+    pack_pointwise: bool = False
     # Partial-BN: after the first conv/BN, blocks' BNs run on running stats
     # during training (train only gates BN in these blocks, so passing
     # train=False to them is exactly the reference's partial-BN semantics,
@@ -132,7 +185,8 @@ class I3D(nn.Module):
                 x = _same_max_pool(x, k, (2, 2, 2))
             else:
                 b0, b1, b2, b3 = _MIXED_SPECS[name]
-                x = mixed(b0, b1, b2, b3, name=name, **kw)(x, bt)
+                x = mixed(b0, b1, b2, b3, name=name,
+                          pack_pointwise=self.pack_pointwise, **kw)(x, bt)
 
         # Reference head pooling (i3dpt.py:230-262): AvgPool3d((2,7,7),
         # stride 1) -> 1x1x1 conv -> temporal mean.  As in S3D (s3d.py head),
