@@ -102,8 +102,11 @@ def main():
     # binaries: 1219-1338 clips/s across runs), so the max window is the
     # faithful estimator of device throughput.  Each window is hard-synced
     # by a value fetch.
+    # 6 windows (~2 s each): relay stalls only ever subtract, and the
+    # round-2 driver capture showed a 9% spread across identical binaries
+    # — more windows make the max-window estimator robust to one bad run.
     iters = 20 if on_tpu else 5
-    windows = 3 if on_tpu else 1
+    windows = 6 if on_tpu else 1
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()

@@ -83,6 +83,9 @@ REGIMES = {
     "moco": [],
     "moco+s2d": ["TPU.STEM_S2D", "full"],     # space-to-depth stem (exact)
     "moco+s2d-sp": ["TPU.STEM_S2D", "spatial"],   # spatial conv only
+    "moco+pack": ["TPU.PACK_POINTWISE", "True"],  # packed 1x1x1 branches
+    "moco+remat": ["TPU.REMAT", "True"],      # recompute bwd (HBM relief)
+    "moco+remat+pack": ["TPU.REMAT", "True", "TPU.PACK_POINTWISE", "True"],
     "simsiam": ["CONTRAST.MEM_TYPE", "simsiam"],
     "bank": ["CONTRAST.MEM_TYPE", "bank"],
     # GRAPH.USE_PALLAS defaults True — pin both values explicitly
