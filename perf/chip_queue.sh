@@ -21,9 +21,10 @@ run_trial() {
   local tag="$1"; shift
   local envs="$1"; shift
   echo "=== $tag (env: ${envs:-none}; args: $*)" >&2
-  local out
-  out=$(env $envs timeout 1200 python bench.py "$@" 2>/dev/null | grep '^{' | tail -1)
-  local rc=$?
+  local raw rc out
+  raw=$(env $envs timeout 1200 python bench.py "$@" 2>/dev/null)
+  rc=$?
+  out=$(printf '%s\n' "$raw" | grep '^{' | tail -1)
   if [ $rc -eq 124 ] || [ $rc -eq 143 ]; then
     echo "{\"tag\": \"$tag\", \"error\": \"timeout — STOPPING (relay wedge risk)\"}" >> "$LEDGER"
     echo "TIMEOUT on $tag — stopping queue to protect the relay" >&2
