@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.temporal_graph import TemporalGraphAug
-from .layers import _PointwiseKernel
+from .layers import _BNVars, _PointwiseKernel, packed_bn_relu
 from .s3d import _MIXED_SPECS
 
 Dtype = Any
@@ -56,30 +56,28 @@ class Unit3D(nn.Module):
 
 
 class _PackedUnit(nn.Module):
-    """Unit3D-shaped param/BN holder for the packed-pointwise path: child
-    names ('conv', 'bn') and hyperparameters match Unit3D exactly; the 1x1x1
-    conv itself runs packed in I3DMixed (see InceptionBlock.pack_pointwise
-    in layers.py for the rationale — identical trick, I3D tree layout)."""
+    """Unit3D-shaped param holder for the packed-pointwise path: child
+    names ('conv', 'bn') and variable trees match Unit3D exactly; the 1x1x1
+    conv and the BN apply run packed in I3DMixed (see
+    InceptionBlock.pack_pointwise in layers.py — identical trick, I3D tree
+    layout)."""
 
     features: int
     in_features: int
-    dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
         self.conv = _PointwiseKernel(self.features, self.in_features,
                                      param_dtype=self.param_dtype,
                                      name="conv")
-        self.bn = nn.BatchNorm(momentum=0.999, epsilon=1e-3,
-                               dtype=jnp.float32,
-                               param_dtype=self.param_dtype, name="bn")
+        self.bn = _BNVars(self.features, param_dtype=self.param_dtype,
+                          name="bn")
 
     def kernel(self) -> jnp.ndarray:
         return self.conv()
 
-    def tail(self, y: jnp.ndarray, train: bool) -> jnp.ndarray:
-        y = self.bn(y, use_running_average=not train)
-        return nn.relu(y.astype(self.dtype))
+    def bn_vars(self):
+        return self.bn()
 
 
 class I3DMixed(nn.Module):
@@ -103,19 +101,22 @@ class I3DMixed(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if self.pack_pointwise:
             cin = x.shape[-1]
-            pw0 = _PackedUnit(self.b0, cin, name="branch0", **kw)
-            pw1 = _PackedUnit(self.b1[0], cin, name="branch1_reduce", **kw)
-            pw2 = _PackedUnit(self.b2[0], cin, name="branch2_reduce", **kw)
+            pkw = dict(param_dtype=self.param_dtype)
+            pw0 = _PackedUnit(self.b0, cin, name="branch0", **pkw)
+            pw1 = _PackedUnit(self.b1[0], cin, name="branch1_reduce", **pkw)
+            pw2 = _PackedUnit(self.b2[0], cin, name="branch2_reduce", **pkw)
             kpack = jnp.concatenate(
                 [pw.kernel() for pw in (pw0, pw1, pw2)],
                 axis=-1).astype(self.dtype)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kpack, (1, 1, 1), "VALID",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            z = packed_bn_relu(self, y,
+                               [pw.bn_vars() for pw in (pw0, pw1, pw2)],
+                               train=train, momentum=0.999, eps=1e-3,
+                               dtype=self.dtype)
             c0, c1 = self.b0, self.b0 + self.b1[0]
-            x0 = pw0.tail(y[..., :c0], train)
-            x1 = pw1.tail(y[..., c0:c1], train)
-            x2 = pw2.tail(y[..., c1:], train)
+            x0, x1, x2 = z[..., :c0], z[..., c0:c1], z[..., c1:]
         else:
             x0 = Unit3D(self.b0, (1, 1, 1), name="branch0", **kw)(x, train)
             x1 = Unit3D(self.b1[0], (1, 1, 1), name="branch1_reduce", **kw)(x, train)

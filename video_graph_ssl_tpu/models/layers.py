@@ -443,35 +443,86 @@ class _PointwiseKernel(nn.Module):
                           self.param_dtype)
 
 
+class _BNVars(nn.Module):
+    """Variable-tree stand-in for ``nn.BatchNorm``: declares the identical
+    params ('scale', 'bias') and batch_stats ('mean', 'var') — same names,
+    shapes, inits, dtypes — and returns them for the parent to apply over a
+    PACKED channel range (per-channel math is unchanged, so one stat pass
+    over the concatenated channels equals the per-branch BatchNorms)."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (self.features,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (self.features,))
+        return scale, bias, ra_mean, ra_var
+
+
+def packed_bn_relu(parent: nn.Module, y: jnp.ndarray, bn_vars,
+                   train: bool, momentum: float, eps: float,
+                   dtype) -> jnp.ndarray:
+    """BN+ReLU over packed channels, per-branch variables.
+
+    Mirrors flax ``nn.BatchNorm`` exactly (normalization.py _compute_stats
+    fast-variance path + _normalize) but runs ONE stat-reduce pair and ONE
+    normalize/ReLU pass for all branches instead of one per branch;
+    running stats update per branch slice.  ``bn_vars`` is a list of
+    (scale, bias, ra_mean, ra_var) tuples in pack order."""
+    scale = jnp.concatenate([v[0] for v in bn_vars])
+    bias = jnp.concatenate([v[1] for v in bn_vars])
+    if train:
+        xf = y.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+        mu2 = jnp.mean(xf * xf, axis=(0, 1, 2, 3))
+        var = jnp.maximum(0.0, mu2 - mean * mean)
+        if not parent.is_initializing():
+            off = 0
+            for _, _, ra_mean, ra_var in bn_vars:
+                c = ra_mean.value.shape[0]
+                ra_mean.value = (momentum * ra_mean.value
+                                 + (1 - momentum) * mean[off:off + c])
+                ra_var.value = (momentum * ra_var.value
+                                + (1 - momentum) * var[off:off + c])
+                off += c
+    else:
+        mean = jnp.concatenate([v[2].value for v in bn_vars])
+        var = jnp.concatenate([v[3].value for v in bn_vars])
+    z = (y - mean) * (jax.lax.rsqrt(var + eps) * scale) + bias
+    return nn.relu(z.astype(dtype))
+
+
 class _PointwiseBlock(nn.Module):
-    """ConvBN-shaped param/BN holder for the packed-pointwise path: child
-    names ('conv', 'bn') and hyperparameters match ConvBN exactly; the conv
-    itself runs packed in the parent (see InceptionBlock.pack_pointwise)."""
+    """ConvBN-shaped param holder for the packed-pointwise path: child
+    names ('conv', 'bn') and variable trees match ConvBN exactly; both the
+    conv and the BN apply run packed in the parent
+    (see InceptionBlock.pack_pointwise)."""
 
     features: int
     in_features: int
-    bn_eps: float = 1e-3
-    bn_momentum: float = 0.999
-    dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
         self.conv = _PointwiseKernel(self.features, self.in_features,
                                      param_dtype=self.param_dtype,
                                      name="conv")
-        self.bn = nn.BatchNorm(momentum=self.bn_momentum,
-                               epsilon=self.bn_eps,
-                               dtype=self.dtype,
-                               param_dtype=self.param_dtype,
-                               name="bn")
+        self.bn = _BNVars(self.features, param_dtype=self.param_dtype,
+                          name="bn")
 
     def kernel(self) -> jnp.ndarray:
         return self.conv()
 
-    def tail(self, y: jnp.ndarray, train: bool,
-             bn_frozen: bool) -> jnp.ndarray:
-        y = self.bn(y, use_running_average=(not train) or bn_frozen)
-        return nn.relu(y.astype(self.dtype))
+    def bn_vars(self):
+        return self.bn()
 
 
 class _PackedBasic(nn.Module):
@@ -479,21 +530,18 @@ class _PackedBasic(nn.Module):
 
     features: int
     in_features: int
-    dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
         self.block = _PointwiseBlock(self.features, self.in_features,
-                                     dtype=self.dtype,
                                      param_dtype=self.param_dtype,
                                      name="block")
 
     def kernel(self) -> jnp.ndarray:
         return self.block.kernel()
 
-    def tail(self, y: jnp.ndarray, train: bool,
-             bn_frozen: bool) -> jnp.ndarray:
-        return self.block.tail(y, train, bn_frozen)
+    def bn_vars(self):
+        return self.block.bn_vars()
 
 
 class InceptionBlock(nn.Module):
@@ -532,19 +580,22 @@ class InceptionBlock(nn.Module):
         bf = dict(train=train, bn_frozen=bn_frozen)
         if self.pack_pointwise:
             cin = x.shape[-1]
-            pw0 = _PackedBasic(self.b0, cin, name="branch0", **kw)
-            pw1 = _PackedBasic(self.b1[0], cin, name="branch1_reduce", **kw)
-            pw2 = _PackedBasic(self.b2[0], cin, name="branch2_reduce", **kw)
+            pkw = dict(param_dtype=self.param_dtype)
+            pw0 = _PackedBasic(self.b0, cin, name="branch0", **pkw)
+            pw1 = _PackedBasic(self.b1[0], cin, name="branch1_reduce", **pkw)
+            pw2 = _PackedBasic(self.b2[0], cin, name="branch2_reduce", **pkw)
             kpack = jnp.concatenate(
                 [pw.kernel() for pw in (pw0, pw1, pw2)],
                 axis=-1).astype(self.dtype)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kpack, (1, 1, 1), "VALID",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            z = packed_bn_relu(
+                self, y, [pw.bn_vars() for pw in (pw0, pw1, pw2)],
+                train=train and not bn_frozen, momentum=0.999, eps=1e-3,
+                dtype=self.dtype)
             c0, c1 = self.b0, self.b0 + self.b1[0]
-            x0 = pw0.tail(y[..., :c0], train, bn_frozen)
-            x1 = pw1.tail(y[..., c0:c1], train, bn_frozen)
-            x2 = pw2.tail(y[..., c1:], train, bn_frozen)
+            x0, x1, x2 = z[..., :c0], z[..., c0:c1], z[..., c1:]
         else:
             x0 = BasicConv3d(self.b0, 1, name="branch0", **kw)(x, **bf)
             x1 = BasicConv3d(self.b1[0], 1, name="branch1_reduce", **kw)(x, **bf)
