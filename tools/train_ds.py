@@ -95,6 +95,18 @@ class Trainer:
                        for k in ("batch_time", "data_time", "loss",
                                  "top1", "top5")}
 
+        # Graceful preemption: SIGTERM -> finish step, checkpoint, exit
+        # (same contract as the pretrain tool).
+        self._preempted = False
+        import signal
+
+        signal.signal(signal.SIGTERM, self._on_sigterm)
+
+    def _on_sigterm(self, signum, frame):
+        print("=> SIGTERM: checkpointing after the current step...",
+              flush=True)
+        self._preempted = True
+
     def _load_ssl_checkpoint(self):
         """Checkpoint surgery (reference: train_ds.py:65-84)."""
         path = self.args.ssl_checkpoint or self.cfg.MODEL.PRETRAIN_PATH
@@ -140,6 +152,12 @@ class Trainer:
                       f"Prec@5 {self.meters['top5'].val:.3f} "
                       f"({self.meters['top5'].avg:.3f})")
             end = time.time()
+            if self._preempted:
+                print("======>Preemption Checkpoint...", flush=True)
+                self.saver.save_checkpoint(
+                    self.state, epoch, self.best_pred,
+                    filename="checkpoint_preempt.msgpack")
+                return
             if self.args.max_steps and i + 1 >= self.args.max_steps:
                 break
 
@@ -178,6 +196,8 @@ class Trainer:
         for epoch in range(int(self.cfg.SOLVER.START_EPOCH),
                            int(self.cfg.SOLVER.MAX_EPOCHS)):
             self.training(epoch)
+            if self._preempted:
+                break
             no_val = bool(self.cfg.CHECKPOINT.NO_VAL)
             eval_int = int(self.cfg.CHECKPOINT.EVAL_INTERVAL)
             if not no_val and (epoch + 1) % eval_int == 0:

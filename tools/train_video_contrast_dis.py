@@ -107,6 +107,21 @@ class Trainer:
         self.top1 = AverageMeter()
         self.top5 = AverageMeter()
 
+        # Graceful preemption (beyond the reference, whose only recovery
+        # is resume-from-last-periodic-checkpoint): on SIGTERM — what TPU
+        # pod preemption delivers — finish the in-flight step, write
+        # checkpoint_preempt.msgpack carrying the CURRENT epoch (so resume
+        # restarts this epoch), and exit cleanly.
+        self._preempted = False
+        import signal
+
+        signal.signal(signal.SIGTERM, self._on_sigterm)
+
+    def _on_sigterm(self, signum, frame):
+        print("=> SIGTERM: checkpointing after the current step...",
+              flush=True)
+        self._preempted = True
+
     def _example_from(self, probe):
         """Shape template for init: (2, V, T, h, w, C) float after augment."""
         base = tuple(int(s) for s in self.cfg.INPUT.BASE_SIZE)
@@ -171,6 +186,12 @@ class Trainer:
                     f"Prec@5 {self.top5.val:.3f} ({self.top5.avg:.3f})"
                 )
             end = time.time()
+            if self._preempted:
+                print("======>Preemption Checkpoint...", flush=True)
+                self.saver.save_checkpoint(
+                    self.state, epoch, self.best_pred,
+                    filename="checkpoint_preempt.msgpack")
+                return
             if self.args.max_steps and (i + 1 + num_img_tr * epoch
                                         ) >= self.args.max_steps:
                 break
@@ -191,6 +212,8 @@ class Trainer:
     def run(self):
         for epoch in range(self.start_epoch, int(self.cfg.SOLVER.MAX_EPOCHS)):
             self.train(epoch)
+            if self._preempted:
+                break
             # --max_steps N runs N total steps, spanning epochs when the
             # split is shorter than N steps (smoke runs break here after
             # their first epoch exactly as before)
