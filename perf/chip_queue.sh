@@ -49,6 +49,8 @@ run_trial baseline          ""
 run_trial remat             "" TPU.REMAT True
 run_trial pack_pointwise    "" TPU.PACK_POINTWISE True
 run_trial remat_pack        "" TPU.REMAT True TPU.PACK_POINTWISE True
+run_trial sepconv_fused     "" TPU.SEPCONV_FUSED True
+run_trial sepconv_pack      "" TPU.SEPCONV_FUSED True TPU.PACK_POINTWISE True
 run_trial bs160             "VGS_BENCH_BS=160"
 run_trial bs192             "VGS_BENCH_BS=192"
 echo "queue complete -> $LEDGER" >&2

@@ -86,6 +86,7 @@ REGIMES = {
     "moco+pack": ["TPU.PACK_POINTWISE", "True"],  # packed 1x1x1 branches
     "moco+remat": ["TPU.REMAT", "True"],      # recompute bwd (HBM relief)
     "moco+remat+pack": ["TPU.REMAT", "True", "TPU.PACK_POINTWISE", "True"],
+    "moco+fusedsep": ["TPU.SEPCONV_FUSED", "True"],  # Pallas 3-sweep bwd
     "simsiam": ["CONTRAST.MEM_TYPE", "simsiam"],
     "bank": ["CONTRAST.MEM_TYPE", "bank"],
     # GRAPH.USE_PALLAS defaults True — pin both values explicitly

@@ -194,6 +194,9 @@ _C.TPU.PACK_POINTWISE = False            # S3D/S3DG: fuse each inception
                                          # block's three sibling 1x1x1 convs
                                          # into one MXU matmul (same math,
                                          # same checkpoint tree)
+_C.TPU.SEPCONV_FUSED = False             # S3D: custom-VJP 3-sweep recompute
+                                         # backward for branch SepConvs
+                                         # (Pallas on one TPU device)
 _C.TPU.PREFETCH = 2                      # host->device pipeline depth
 _C.TPU.CKPT_BACKEND = "msgpack"          # msgpack (1 file) | orbax (sharded)
 _C.TPU.ASYNC_CKPT = False                # orbax only: commit in background

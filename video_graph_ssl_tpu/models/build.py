@@ -121,6 +121,12 @@ def encoder_cfg_from(cfg, aug_flag: bool,
             raise ValueError(f"TPU.PACK_POINTWISE only applies to the "
                              f"S3D/S3DG/I3D inception family, got {name}")
         ctor = functools.partial(ctor, pack_pointwise=True)
+    if bool(cfg.TPU.SEPCONV_FUSED):
+        if name != "S3D":
+            # S3DG's biased STConv3d variant keeps the standard backward
+            raise ValueError(f"TPU.SEPCONV_FUSED only applies to S3D, "
+                             f"got {name}")
+        ctor = functools.partial(ctor, fused_sepconv=True)
     dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
     enc = dict(
         backbone_ctor=ctor,

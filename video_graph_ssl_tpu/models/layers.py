@@ -248,6 +248,30 @@ class BasicConv3d(nn.Module):
         )(x, train=train, bn_frozen=bn_frozen)
 
 
+class _SepHalf(nn.Module):
+    """ConvBN-shaped param holder ('conv' + 'bn' children, identical
+    variable trees) for the fused-backward SepConv path."""
+
+    features: int
+    in_features: int
+    kernel_size: Tuple[int, int, int]
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.conv = _ConvKernelParam(self.features, self.in_features,
+                                     self.kernel_size,
+                                     param_dtype=self.param_dtype,
+                                     name="conv")
+        self.bn = _BNVars(self.features, param_dtype=self.param_dtype,
+                          name="bn")
+
+    def kernel(self) -> jnp.ndarray:
+        return self.conv()
+
+    def bn_vars(self):
+        return self.bn()
+
+
 class SepConv3d(nn.Module):
     """Separable 3D conv: spatial (1,k,k) then temporal (k,1,1), each with
     BN+ReLU (reference: s3d_1.py:50-69).  This factorization is the S3D hot
@@ -257,6 +281,13 @@ class SepConv3d(nn.Module):
     ``temporal_bias=True`` gives the S3DG 'STConv3d' variant: both convs
     biased, temporal conv init Normal(0, 0.01)
     (reference: S3DG_Pytorch.py:20-43).
+
+    ``fused_bwd`` (TPU.SEPCONV_FUSED): route the k=3/s=1/p=1 unbiased
+    instances (all inception-branch SepConvs) through the custom-VJP
+    3-sweep recompute backward (ops/fused_sepconv.py; Pallas kernels on a
+    single TPU device, identical-math XLA sweeps elsewhere).  Same forward
+    bits, same variable tree; other shapes (the k=7 stem) keep the
+    standard path.
     """
 
     features: int
@@ -264,6 +295,7 @@ class SepConv3d(nn.Module):
     strides: int = 1
     padding: int = 0
     temporal_bias: bool = False
+    fused_bwd: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -271,6 +303,15 @@ class SepConv3d(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  bn_frozen: bool = False) -> jnp.ndarray:
         k, s, p = self.kernel_size, self.strides, self.padding
+        if (self.fused_bwd and not self.temporal_bias
+                and (k, s, p) == (3, 1, 1)):
+            from ..ops.pallas.sepconv_bwd import fits_vmem
+
+            # instances too large for the per-batch-element VMEM slabs
+            # (e.g. the 56x56 stem_3) keep the standard autodiff path —
+            # the XLA fallback sweeps would only add recompute there
+            if fits_vmem(x.shape, self.features):
+                return self._fused(x, train, bn_frozen)
         x = ConvBN(
             features=self.features,
             kernel_size=(1, k, k),
@@ -294,6 +335,42 @@ class SepConv3d(nn.Module):
             name="temporal",
         )(x, train=train, bn_frozen=bn_frozen)
         return x
+
+    def _fused(self, x: jnp.ndarray, train: bool,
+               bn_frozen: bool) -> jnp.ndarray:
+        from ..ops.fused_sepconv import _bn_relu, fused_sepconv_train
+
+        cin = x.shape[-1]
+        pkw = dict(param_dtype=self.param_dtype)
+        hs = _SepHalf(self.features, cin, (1, 3, 3), name="spatial", **pkw)
+        ht = _SepHalf(self.features, self.features, (3, 1, 1),
+                      name="temporal", **pkw)
+        ws, wt = hs.kernel(), ht.kernel()
+        g1, b1, rm1, rv1 = hs.bn_vars()
+        g2, b2, rm2, rv2 = ht.bn_vars()
+
+        if train and not bn_frozen:
+            out, (mu1, var1, mu2, var2) = fused_sepconv_train(
+                x, ws, wt, g1, b1, g2, b2, self.dtype)
+            if not self.is_initializing():
+                m = 0.999  # flax-convention momentum of ConvBN
+                rm1.value = m * rm1.value + (1 - m) * mu1
+                rv1.value = m * rv1.value + (1 - m) * var1
+                rm2.value = m * rm2.value + (1 - m) * mu2
+                rv2.value = m * rv2.value + (1 - m) * var2
+            return out
+
+        # eval / frozen-BN: running-stat affine, plain composition (the
+        # backward here is the ordinary XLA one — grads still flow to the
+        # conv kernels and BN affines, matching ConvBN's bn_frozen path)
+        from ..ops.fused_sepconv import _conv_s, _conv_t
+
+        y1 = _conv_s(x.astype(self.dtype), ws.astype(self.dtype))
+        a = _bn_relu(y1.astype(jnp.float32), rm1.value, rv1.value,
+                     g1, b1, self.dtype)
+        y2 = _conv_t(a, wt.astype(self.dtype))
+        return _bn_relu(y2.astype(jnp.float32), rm2.value, rv2.value,
+                        g2, b2, self.dtype)
 
 
 def space_to_depth_hw(x: jnp.ndarray) -> jnp.ndarray:
@@ -424,14 +501,16 @@ class SepConvS2D(nn.Module):
         return x
 
 
-class _PointwiseKernel(nn.Module):
+class _ConvKernelParam(nn.Module):
     """Param-only stand-in for ConvBN's ``nn.Conv`` child: declares the same
     'kernel' parameter (name, shape, init, dtype) without computing, so a
-    parent can pack several sibling 1x1x1 convolutions into one MXU matmul
-    while the checkpoint tree stays byte-identical to the unpacked path."""
+    parent can run the convolution itself differently (packed with siblings,
+    or through a custom-VJP fused step) while the checkpoint tree stays
+    byte-identical to the standard path."""
 
     features: int
     in_features: int
+    kernel_size: Tuple[int, int, int] = (1, 1, 1)
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -439,8 +518,13 @@ class _PointwiseKernel(nn.Module):
         from flax.linen.linear import default_kernel_init
 
         return self.param("kernel", default_kernel_init,
-                          (1, 1, 1, self.in_features, self.features),
+                          tuple(self.kernel_size)
+                          + (self.in_features, self.features),
                           self.param_dtype)
+
+
+# packed-pointwise path name (1x1x1 kernels)
+_PointwiseKernel = _ConvKernelParam
 
 
 class _BNVars(nn.Module):
@@ -569,6 +653,7 @@ class InceptionBlock(nn.Module):
     b3: int
     temporal_bias: bool = False
     pack_pointwise: bool = False
+    fused_sepconv: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -576,7 +661,8 @@ class InceptionBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  bn_frozen: bool = False) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        skw = dict(temporal_bias=self.temporal_bias, **kw)
+        skw = dict(temporal_bias=self.temporal_bias,
+                   fused_bwd=self.fused_sepconv, **kw)
         bf = dict(train=train, bn_frozen=bn_frozen)
         if self.pack_pointwise:
             cin = x.shape[-1]

@@ -87,6 +87,9 @@ class S3D(nn.Module):
     # MXU matmul (TPU.PACK_POINTWISE; see layers.InceptionBlock) — same
     # math, same checkpoint tree.
     pack_pointwise: bool = False
+    # Route eligible branch SepConvs through the custom-VJP 3-sweep
+    # recompute backward (TPU.SEPCONV_FUSED; layers.SepConv3d.fused_bwd).
+    fused_sepconv: bool = False
     # Partial-BN (reference: VideoModelWrapper.train() override,
     # model_wrappers.py:130-146): when training downstream, BNs after the
     # first conv stage run on running statistics.  Stage-granular here
@@ -152,6 +155,7 @@ class S3D(nn.Module):
                 b0, b1, b2, b3 = _MIXED_SPECS[name]
                 x = mixed(b0, b1, b2, b3, name=name,
                           pack_pointwise=self.pack_pointwise,
+                          fused_sepconv=self.fused_sepconv,
                           **skw)(x, train, bn_frozen)
 
         # Reference head pooling (s3d_1.py:28-35, S3DG_Pytorch.py:331-347):
