@@ -116,6 +116,9 @@ def _bwd_reference(res, g):
     z1 = xhat1 * g1 + b1
     dz1 = jnp.where(z1 > 0, da, 0.0)
     s_g1, s_gx1 = _bn_bwd_terms(dz1, xhat1)
+    # sweep 2 stores dz1 in the compute dtype (sums above use the
+    # unrounded values, matching the kernels); sweep 3 reads it back
+    dz1 = dz1.astype(dtype).astype(jnp.float32)
     dy1 = (g1 * rs1) * (dz1 - s_g1 / n - xhat1 * (s_gx1 / n))
 
     dy1c = dy1.astype(dtype)

@@ -156,7 +156,7 @@ def _k2_mid(x_ref, g_ref, ws_ref, wt_ref, c_ref, m2_ref,
     da = _conv_taps_temporal(dy2c.reshape(t, h, w, f), wt_ref[:, 0, 0],
                              t, h * w, f, flip=True, transpose=True)
     dz1 = jnp.where(z1 > 0, da, 0.0)
-    dz1_ref[0] = dz1.reshape(t, h, w, f).astype(jnp.float32)
+    dz1_ref[0] = dz1.reshape(t, h, w, f).astype(dz1_ref.dtype)
     s1_acc[0, :] += jnp.sum(dz1, axis=0)
     s1_acc[1, :] += jnp.sum(dz1 * xhat1, axis=0)
 
@@ -181,7 +181,7 @@ def _k3_input_grads(x_ref, dz1_ref, ws_ref, c_ref, m1_ref,
     y1 = _conv_taps_spatial(x, ws_ref[0], h, w, f)
     y1 = y1.astype(dtype).astype(jnp.float32)
     xhat1 = (y1 - c[0]) * c[1]
-    dz1 = dz1_ref[0].reshape(rows, f)
+    dz1 = dz1_ref[0].reshape(rows, f).astype(jnp.float32)
     alpha1 = c[2] * c[1]  # g1 * rs1
     dy1 = alpha1 * (dz1 - m1_ref[0, :] - xhat1 * m1_ref[1, :])
     dy1c = dy1.astype(dtype)
@@ -244,7 +244,7 @@ def sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2,
         in_specs=[el_spec(cc), el_spec(f), full(ws.shape), full(wt.shape),
                   full(consts.shape), full((2, f))],
         out_specs=(el_spec(f), full((3, f, f)), full((2, f))),
-        out_shape=(jax.ShapeDtypeStruct((bsz, t, h, w, f), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((bsz, t, h, w, f), dtype),
                    jax.ShapeDtypeStruct((3, f, f), jnp.float32),
                    jax.ShapeDtypeStruct((2, f), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((3, f, f), jnp.float32),
