@@ -173,6 +173,35 @@ def test_s3d_fused_flag_checkpoint_compatible():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pallas_tiled_matches_untiled_interpret():
+    """Forced H-slab tiling (halo recompute path) == single-tile result."""
+    import jax.numpy as jnp
+    from video_graph_ssl_tpu.ops.fused_sepconv import sepconv_fwd_core
+    from video_graph_ssl_tpu.ops.pallas.sepconv_bwd import sepconv_bwd_pallas
+
+    args, wloss = _inputs(3)
+    x, ws, wt, g1, b1, g2, b2 = args
+    _, (mu1, var1, mu2, var2) = sepconv_fwd_core(*args, jnp.float32)
+    kw = dict(dtype=jnp.float32, interpret=True)
+    want = sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2,
+                              mu1, var1, mu2, var2, wloss, h_tile=H, **kw)
+    got = sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2,
+                             mu1, var1, mu2, var2, wloss, h_tile=2, **kw)
+    for i, (a, b) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(i))
+
+
+def test_plan_tiles_known_shapes():
+    """Bench-geometry stages: 4b..5c fit untiled, 3b/3c tile, stem_3 none."""
+    from video_graph_ssl_tpu.ops.pallas.sepconv_bwd import plan_tiles
+
+    assert plan_tiles((128, 4, 14, 14, 96), 208) == 14     # mixed_4b b1
+    t3b = plan_tiles((128, 8, 28, 28, 96), 128)            # mixed_3b b1
+    assert t3b is not None and t3b < 28
+    assert plan_tiles((128, 8, 56, 56, 64), 192) is None   # stem_3
+
+
 def test_stats_outputs_carry_no_gradient():
     import jax
     import jax.numpy as jnp

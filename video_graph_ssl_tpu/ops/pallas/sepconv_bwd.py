@@ -10,12 +10,21 @@ element resident in VMEM:
         accumulate the BN1 backward sums
     k3  recompute y1; dz1 -> dy1; dWs taps; dx = conv_s^T
 
-Convolutions run as tap-shifted (T*H*W, C) x (C, F) MXU matmuls on
-jnp.pad'ed VMEM values; per-channel sums and the dW taps accumulate in
+Convolutions run as tap-shifted (rows, C) x (C, F) MXU matmuls on the
+padded resident input; per-channel sums and the dW taps accumulate in
 fp32 VMEM scratch that persists across the grid and is written to the
-outputs at the last step.  Cast points mirror ops/fused_sepconv.py's
-`_bwd_reference` exactly, so interpret-mode equality against it is exact
-in fp32 (tests/test_fused_sepconv.py).
+outputs at the last step.
+
+Large spatial stages (mixed_3b/3c at 28x28) tile the COMPUTE over H
+slabs while x stays resident: the spatial conv's H halo is handled by
+recomputing one extra row each side in sweep 3 (the temporal conv has no
+spatial dependence, so sweeps 1-2 tile cleanly).  ``plan_tiles`` picks
+the largest H divisor whose working set fits VMEM; shapes with no viable
+tiling (the 56x56 stem_3) return None and keep the standard backward.
+
+Cast points mirror ops/fused_sepconv.py's `_bwd_reference` exactly, so
+interpret-mode equality against it is exact in fp32
+(tests/test_fused_sepconv.py, including a forced-tiling case).
 
 Why three sweeps: BN train backward needs batch-mean terms of the
 incoming cotangent before any per-element gradient exists — a single
@@ -33,28 +42,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-3
+_VMEM_BUDGET = 12 * 2**20
 
 
-def fits_vmem(x_shape, f_out, budget_bytes: int = 10 * 2**20) -> bool:
-    """Rough per-batch-element VMEM working-set estimate for the kernels."""
+def _working_set(t, h, w, c, f, h_tile, dsize=2) -> int:
+    """Rough VMEM bytes for one grid step at a given compute slab height.
+    Grid-indexed blocks (x, g, dz1/dx) count twice: pallas double-buffers
+    them to overlap the next element's DMA with compute."""
+    rows = t * h_tile * w
+    blocks = 2 * (t * h * w * (c + 2 * f)) * dsize    # x + g + dz1/dx
+    padded_x = t * (h + 2) * (w + 2) * c * dsize
+    slab = 5 * rows * f * 4 + rows * max(c, f) * 4    # fp32 intermediates
+    accs = 9 * c * f * 4 + 3 * f * f * 4
+    return blocks + padded_x + slab + accs
+
+
+def plan_tiles(x_shape, f_out) -> int | None:
+    """Largest H-divisor slab that fits the VMEM budget (None = no fit)."""
     _, t, h, w, c = x_shape
-    rows = t * h * w
-    cmax = max(c, f_out)
-    # padded input + activation + ~4 fp32 row-major intermediates + taps
-    est = (t * (h + 2) * (w + 2) * c * 2 + rows * c * 2
-           + 4 * rows * f_out * 4 + 2 * rows * cmax * 2
-           + 9 * c * f_out * 4 + 3 * f_out * f_out * 4)
-    return est <= budget_bytes
+    for h_tile in [d for d in range(h, 0, -1) if h % d == 0]:
+        if _working_set(t, h, w, c, f_out, h_tile) <= _VMEM_BUDGET:
+            return h_tile
+    return None
 
 
-def _conv_taps_spatial(x, w_taps, h, wd, out_f, flip=False, transpose=False):
-    """Sum of 9 shifted matmuls: x (T,H,W,Cin) -> (T*H*W, out_f) fp32."""
-    t = x.shape[0]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((t * h * wd, out_f), jnp.float32)
+def fits_vmem(x_shape, f_out) -> bool:
+    return plan_tiles(x_shape, f_out) is not None
+
+
+def _taps_spatial(xp, w_taps, h0, h_t, wd, out_f, flip=False,
+                  transpose=False):
+    """Sum of 9 shifted matmuls over rows [h0, h0+h_t) of the padded
+    input xp (T, H+2, W+2, C) -> (T*h_t*wd, out_f) fp32."""
+    t = xp.shape[0]
+    acc = jnp.zeros((t * h_t * wd, out_f), jnp.float32)
     for dh in range(3):
         for dw in range(3):
-            sl = xp[:, dh:dh + h, dw:dw + wd, :].reshape(t * h * wd, -1)
+            sl = xp[:, h0 + dh:h0 + dh + h_t,
+                    dw:dw + wd, :].reshape(t * h_t * wd, -1)
             wk = w_taps[2 - dh, 2 - dw] if flip else w_taps[dh, dw]
             if transpose:
                 wk = wk.T
@@ -62,13 +87,14 @@ def _conv_taps_spatial(x, w_taps, h, wd, out_f, flip=False, transpose=False):
     return acc
 
 
-def _conv_taps_temporal(a, w_taps, t, rows_hw, out_f, flip=False,
-                        transpose=False):
-    """Sum of 3 T-shifted matmuls: a (T,H,W,F) -> (T*H*W, out_f) fp32."""
+def _taps_temporal(a, w_taps, out_f, flip=False, transpose=False):
+    """Sum of 3 T-shifted matmuls: a (T, h_t, W, F) -> (rows, out_f) fp32."""
+    t = a.shape[0]
+    rows = t * a.shape[1] * a.shape[2]
     ap = jnp.pad(a, ((1, 1), (0, 0), (0, 0), (0, 0)))
-    acc = jnp.zeros((t * rows_hw, out_f), jnp.float32)
+    acc = jnp.zeros((rows, out_f), jnp.float32)
     for k in range(3):
-        sl = ap[k:k + t].reshape(t * rows_hw, -1)
+        sl = ap[k:k + t].reshape(rows, -1)
         wk = w_taps[2 - k] if flip else w_taps[k]
         if transpose:
             wk = wk.T
@@ -76,33 +102,24 @@ def _conv_taps_temporal(a, w_taps, t, rows_hw, out_f, flip=False,
     return acc
 
 
-def _recompute_to_a(x, ws, c_row, dims, dtype):
-    """x -> y1 (fp32, post-bf16-rounding) -> xhat1, z1-mask, a (dtype)."""
-    t, h, w, _c, f = dims
-    mu1, rs1, g1, b1 = c_row[0], c_row[1], c_row[2], c_row[3]
-    y1 = _conv_taps_spatial(x, ws, h, w, f)
+def _slab_to_z2(xp, ws, wt, c_row, h0, h_t, wd, f, dtype):
+    """Recompute one H slab up to (xhat1, z1, a, xhat2, z2); rows-major."""
+    t = xp.shape[0]
+    y1 = _taps_spatial(xp, ws, h0, h_t, wd, f)
     y1 = y1.astype(dtype).astype(jnp.float32)
-    xhat1 = (y1 - mu1) * rs1
-    z1 = xhat1 * g1 + b1
+    xhat1 = (y1 - c_row[0]) * c_row[1]
+    z1 = xhat1 * c_row[2] + c_row[3]
     a = jnp.maximum(z1, 0.0).astype(dtype)
-    return xhat1, z1, a
-
-
-def _recompute_to_z2(x, ws, wt, c_row, dims, dtype):
-    t, h, w, _c, f = dims
-    mu2, rs2 = c_row[4], c_row[5]
-    g2, b2 = c_row[6], c_row[7]
-    xhat1, z1, a = _recompute_to_a(x, ws, c_row, dims, dtype)
-    a4 = a.reshape(t, h, w, f)
-    y2 = _conv_taps_temporal(a4, wt, t, h * w, f)
+    a4 = a.reshape(t, h_t, wd, f)
+    y2 = _taps_temporal(a4, wt, f)
     y2 = y2.astype(dtype).astype(jnp.float32)
-    xhat2 = (y2 - mu2) * rs2
-    z2 = xhat2 * g2 + b2
+    xhat2 = (y2 - c_row[4]) * c_row[5]
+    z2 = xhat2 * c_row[6] + c_row[7]
     return xhat1, z1, a4, xhat2, z2
 
 
 def _k1_bn2_sums(x_ref, g_ref, ws_ref, wt_ref, c_ref, out_ref, acc,
-                 *, dims, dtype):
+                 *, dims, h_tile, dtype):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -111,12 +128,16 @@ def _k1_bn2_sums(x_ref, g_ref, ws_ref, wt_ref, c_ref, out_ref, acc,
 
     t, h, w, _c, f = dims
     c = c_ref[:]
-    _xh1, _z1, _a, xhat2, z2 = _recompute_to_z2(
-        x_ref[0], ws_ref[0], wt_ref[:, 0, 0], c, dims, dtype)
-    gf = g_ref[0].reshape(t * h * w, f).astype(jnp.float32)
-    dz2 = jnp.where(z2 > 0, gf, 0.0)
-    acc[0, :] += jnp.sum(dz2, axis=0)
-    acc[1, :] += jnp.sum(dz2 * xhat2, axis=0)
+    xp = jnp.pad(x_ref[0], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ws, wt = ws_ref[0], wt_ref[:, 0, 0]
+    for h0 in range(0, h, h_tile):
+        _x1, _z1, _a, xhat2, z2 = _slab_to_z2(
+            xp, ws, wt, c, h0, h_tile, w, f, dtype)
+        gf = g_ref[0, :, h0:h0 + h_tile].reshape(
+            t * h_tile * w, f).astype(jnp.float32)
+        dz2 = jnp.where(z2 > 0, gf, 0.0)
+        acc[0, :] += jnp.sum(dz2, axis=0)
+        acc[1, :] += jnp.sum(dz2 * xhat2, axis=0)
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
@@ -124,7 +145,8 @@ def _k1_bn2_sums(x_ref, g_ref, ws_ref, wt_ref, c_ref, out_ref, acc,
 
 
 def _k2_mid(x_ref, g_ref, ws_ref, wt_ref, c_ref, m2_ref,
-            dz1_ref, dwt_ref, s1_ref, dwt_acc, s1_acc, *, dims, dtype):
+            dz1_ref, dwt_ref, s1_ref, dwt_acc, s1_acc,
+            *, dims, h_tile, dtype):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -133,32 +155,35 @@ def _k2_mid(x_ref, g_ref, ws_ref, wt_ref, c_ref, m2_ref,
         s1_acc[:] = jnp.zeros_like(s1_acc)
 
     t, h, w, _c, f = dims
-    rows = t * h * w
     c = c_ref[:]
-    xhat1, z1, a4, xhat2, z2 = _recompute_to_z2(
-        x_ref[0], ws_ref[0], wt_ref[:, 0, 0], c, dims, dtype)
-    gf = g_ref[0].reshape(rows, f).astype(jnp.float32)
-    dz2 = jnp.where(z2 > 0, gf, 0.0)
+    xp = jnp.pad(x_ref[0], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ws, wt = ws_ref[0], wt_ref[:, 0, 0]
     alpha2 = c[6] * c[5]  # g2 * rs2
-    dy2 = alpha2 * (dz2 - m2_ref[0, :] - xhat2 * m2_ref[1, :])
-    dy2c = dy2.astype(dtype)
+    for h0 in range(0, h, h_tile):
+        rows = t * h_tile * w
+        xhat1, z1, a4, xhat2, z2 = _slab_to_z2(
+            xp, ws, wt, c, h0, h_tile, w, f, dtype)
+        gf = g_ref[0, :, h0:h0 + h_tile].reshape(rows, f).astype(jnp.float32)
+        dz2 = jnp.where(z2 > 0, gf, 0.0)
+        dy2 = alpha2 * (dz2 - m2_ref[0, :] - xhat2 * m2_ref[1, :])
+        dy2c = dy2.astype(dtype)
 
-    # dWt taps: a[t+k-1]^T . dy2
-    ap = jnp.pad(a4, ((1, 1), (0, 0), (0, 0), (0, 0)))
-    dy2r = dy2c.reshape(rows, f)
-    for k in range(3):
-        ak = ap[k:k + t].reshape(rows, f)
-        dwt_acc[k] += jax.lax.dot_general(
-            ak, dy2r, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # dWt taps: a[t+k-1]^T . dy2 (temporal shift only — tiles cleanly)
+        ap = jnp.pad(a4, ((1, 1), (0, 0), (0, 0), (0, 0)))
+        dy2r = dy2c.reshape(rows, f)
+        for k in range(3):
+            ak = ap[k:k + t].reshape(rows, f)
+            dwt_acc[k] += jax.lax.dot_general(
+                ak, dy2r, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-    # da = conv_t^T(dy2)
-    da = _conv_taps_temporal(dy2c.reshape(t, h, w, f), wt_ref[:, 0, 0],
-                             t, h * w, f, flip=True, transpose=True)
-    dz1 = jnp.where(z1 > 0, da, 0.0)
-    dz1_ref[0] = dz1.reshape(t, h, w, f).astype(dz1_ref.dtype)
-    s1_acc[0, :] += jnp.sum(dz1, axis=0)
-    s1_acc[1, :] += jnp.sum(dz1 * xhat1, axis=0)
+        da = _taps_temporal(dy2c.reshape(t, h_tile, w, f), wt, f,
+                            flip=True, transpose=True)
+        dz1 = jnp.where(z1 > 0, da, 0.0)
+        dz1_ref[0, :, h0:h0 + h_tile] = dz1.reshape(
+            t, h_tile, w, f).astype(dz1_ref.dtype)
+        s1_acc[0, :] += jnp.sum(dz1, axis=0)
+        s1_acc[1, :] += jnp.sum(dz1 * xhat1, axis=0)
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
@@ -167,7 +192,7 @@ def _k2_mid(x_ref, g_ref, ws_ref, wt_ref, c_ref, m2_ref,
 
 
 def _k3_input_grads(x_ref, dz1_ref, ws_ref, c_ref, m1_ref,
-                    dx_ref, dws_ref, dws_acc, *, dims, dtype):
+                    dx_ref, dws_ref, dws_acc, *, dims, h_tile, dtype):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -175,31 +200,51 @@ def _k3_input_grads(x_ref, dz1_ref, ws_ref, c_ref, m1_ref,
         dws_acc[:] = jnp.zeros_like(dws_acc)
 
     t, h, w, cc, f = dims
-    rows = t * h * w
     c = c_ref[:]
-    x = x_ref[0]
-    y1 = _conv_taps_spatial(x, ws_ref[0], h, w, f)
-    y1 = y1.astype(dtype).astype(jnp.float32)
-    xhat1 = (y1 - c[0]) * c[1]
-    dz1 = dz1_ref[0].reshape(rows, f).astype(jnp.float32)
+    xp = jnp.pad(x_ref[0], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ws = ws_ref[0]
     alpha1 = c[2] * c[1]  # g1 * rs1
-    dy1 = alpha1 * (dz1 - m1_ref[0, :] - xhat1 * m1_ref[1, :])
-    dy1c = dy1.astype(dtype)
 
-    # dWs taps: x[h+kh-1, w+kw-1]^T . dy1
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dy1r = dy1c.reshape(rows, f)
-    for kh in range(3):
-        for kw in range(3):
-            xk = xp[:, kh:kh + h, kw:kw + w, :].reshape(rows, cc)
-            dws_acc[kh * 3 + kw] += jax.lax.dot_general(
-                xk, dy1r, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    def dy1_rows(r0, r1):
+        """dy1 for rows [r0, r1) (fp32, rows-major), recomputing y1."""
+        n_r = r1 - r0
+        y1 = _taps_spatial(xp, ws, r0, n_r, w, f)
+        y1 = y1.astype(dtype).astype(jnp.float32)
+        xhat1 = (y1 - c[0]) * c[1]
+        dz1 = dz1_ref[0, :, r0:r1].reshape(t * n_r * w, f
+                                           ).astype(jnp.float32)
+        dy1 = alpha1 * (dz1 - m1_ref[0, :] - xhat1 * m1_ref[1, :])
+        return dy1.astype(dtype), xhat1
 
-    # dx = conv_s^T(dy1)
-    dx = _conv_taps_spatial(dy1c.reshape(t, h, w, f), ws_ref[0], h, w, cc,
-                            flip=True, transpose=True)
-    dx_ref[0] = dx.reshape(t, h, w, cc).astype(dx_ref.dtype)
+    for h0 in range(0, h, h_tile):
+        rows = t * h_tile * w
+        # center slab: dWs taps (x halo is resident in xp)
+        dy1c, _ = dy1_rows(h0, h0 + h_tile)
+        dy1r = dy1c.reshape(rows, f)
+        for kh in range(3):
+            for kw in range(3):
+                xk = xp[:, h0 + kh:h0 + kh + h_tile,
+                        kw:kw + w, :].reshape(rows, cc)
+                dws_acc[kh * 3 + kw] += jax.lax.dot_general(
+                    xk, dy1r, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        # dx slab needs dy1 at rows h0-1 .. h0+h_tile (image-clamped);
+        # recompute the halo rows and zero-pad at the image edges
+        e0, e1 = max(h0 - 1, 0), min(h0 + h_tile + 1, h)
+        dy1e, _ = dy1_rows(e0, e1)
+        dy1e = dy1e.reshape(t, e1 - e0, w, f)
+        pad_top = 1 - (h0 - e0)
+        pad_bot = 1 - (e1 - (h0 + h_tile))
+        dy1p = jnp.pad(dy1e, ((0, 0), (pad_top, pad_bot), (1, 1), (0, 0)))
+        dx = jnp.zeros((rows, cc), jnp.float32)
+        for dh in range(3):
+            for dw in range(3):
+                sl = dy1p[:, dh:dh + h_tile, dw:dw + w, :].reshape(rows, f)
+                dx += jnp.dot(sl, ws[2 - dh, 2 - dw].T,
+                              preferred_element_type=jnp.float32)
+        dx_ref[0, :, h0:h0 + h_tile] = dx.reshape(
+            t, h_tile, w, cc).astype(dx_ref.dtype)
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
@@ -207,11 +252,15 @@ def _k3_input_grads(x_ref, dz1_ref, ws_ref, c_ref, m1_ref,
 
 
 def sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2,
-                       g, dtype, interpret: bool = False):
+                       g, dtype, interpret: bool = False,
+                       h_tile: int | None = None):
     """Returns (dx, dWs, dWt, dg1, db1, dg2, db2); math == _bwd_reference."""
     bsz, t, h, w, cc = x.shape
     f = ws.shape[-1]
     dims = (t, h, w, cc, f)
+    if h_tile is None:
+        h_tile = plan_tiles(x.shape, f)
+        assert h_tile is not None, (x.shape, f)
     n = bsz * t * h * w
     rs1 = jax.lax.rsqrt(var1 + _EPS)
     rs2 = jax.lax.rsqrt(var2 + _EPS)
@@ -221,13 +270,16 @@ def sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2,
     wsc = ws.astype(dtype)
     wtc = wt.astype(dtype)
 
-    el_spec = lambda ch: pl.BlockSpec((1, t, h, w, ch), lambda i: (i, 0, 0, 0, 0),
+    el_spec = lambda ch: pl.BlockSpec((1, t, h, w, ch),
+                                      lambda i: (i, 0, 0, 0, 0),
                                       memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+    full = lambda shape: pl.BlockSpec(shape,
+                                      lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
 
     s2 = pl.pallas_call(
-        functools.partial(_k1_bn2_sums, dims=dims, dtype=dtype),
+        functools.partial(_k1_bn2_sums, dims=dims, h_tile=h_tile,
+                          dtype=dtype),
         grid=(bsz,),
         in_specs=[el_spec(cc), el_spec(f), full(ws.shape), full(wt.shape),
                   full(consts.shape)],
@@ -239,7 +291,7 @@ def sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2,
     m2 = s2 / n
 
     dz1, dwt, s1 = pl.pallas_call(
-        functools.partial(_k2_mid, dims=dims, dtype=dtype),
+        functools.partial(_k2_mid, dims=dims, h_tile=h_tile, dtype=dtype),
         grid=(bsz,),
         in_specs=[el_spec(cc), el_spec(f), full(ws.shape), full(wt.shape),
                   full(consts.shape), full((2, f))],
@@ -254,7 +306,8 @@ def sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2,
     m1 = s1 / n
 
     dx, dws = pl.pallas_call(
-        functools.partial(_k3_input_grads, dims=dims, dtype=dtype),
+        functools.partial(_k3_input_grads, dims=dims, h_tile=h_tile,
+                          dtype=dtype),
         grid=(bsz,),
         in_specs=[el_spec(cc), el_spec(f), full(ws.shape),
                   full(consts.shape), full((2, f))],
