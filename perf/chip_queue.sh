@@ -49,7 +49,9 @@ run_trial baseline          ""
 run_trial remat             "" TPU.REMAT True
 run_trial pack_pointwise    "" TPU.PACK_POINTWISE True
 run_trial remat_pack        "" TPU.REMAT True TPU.PACK_POINTWISE True
+run_trial sepconv_nogrid    "VGS_SEPCONV_NOGRID=1" TPU.SEPCONV_FUSED True
 run_trial sepconv_fused     "" TPU.SEPCONV_FUSED True
+run_trial sepconv_xla       "VGS_SEPCONV_XLA=1" TPU.SEPCONV_FUSED True
 run_trial sepconv_pack      "" TPU.SEPCONV_FUSED True TPU.PACK_POINTWISE True
 run_trial bs160             "VGS_BENCH_BS=160"
 run_trial bs192             "VGS_BENCH_BS=192"

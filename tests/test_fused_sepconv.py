@@ -215,3 +215,51 @@ def test_stats_outputs_carry_no_gradient():
 
     g = jax.grad(loss)(*args)
     assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+def test_pallas_grid_matches_reference_interpret():
+    """Manual-DMA H-slab grid kernels == _bwd_reference (interpret mode).
+
+    ht=2 over H=6 exercises first/middle/last slabs: image-edge x rows
+    zero-filled in the slab, dz1 halo reads from the H-padded buffer,
+    and the dy1 halo mask at both image edges."""
+    import jax.numpy as jnp
+    from video_graph_ssl_tpu.ops.fused_sepconv import (_bwd_reference,
+                                                       sepconv_fwd_core)
+    from video_graph_ssl_tpu.ops.pallas.sepconv_bwd_grid import (
+        sepconv_bwd_pallas_grid)
+
+    args, wloss = _inputs(4)
+    x, ws, wt, g1, b1, g2, b2 = args
+    _, (mu1, var1, mu2, var2) = sepconv_fwd_core(*args, jnp.float32)
+    want = _bwd_reference(
+        (x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2, jnp.float32),
+        wloss)
+    names = ["dx", "dWs", "dWt", "dg1", "db1", "dg2", "db2"]
+    for ht in (2, 3, 6):
+        got = sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2,
+                                      mu1, var1, mu2, var2, wloss,
+                                      jnp.float32, interpret=True,
+                                      h_tile=ht)
+        for n, a, b in zip(names, want, got):
+            assert a.shape == b.shape, (n, a.shape, b.shape)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"ht={ht} {n}")
+
+
+def test_plan_grid_covers_bench_stem_and_3c():
+    """The two SepConvs the resident kernels cannot hold (stem_3 and
+    mixed_3c branch1 at the bench 112x112 geometry) get a grid plan."""
+    from video_graph_ssl_tpu.ops.fused_sepconv import pallas_covered
+    from video_graph_ssl_tpu.ops.pallas.sepconv_bwd import plan_tiles
+    from video_graph_ssl_tpu.ops.pallas.sepconv_bwd_grid import plan_grid
+
+    for shape, f in [((256, 8, 28, 28, 64), 192),    # stem_3
+                     ((256, 8, 28, 28, 128), 192)]:  # mixed_3c b1
+        assert plan_tiles(shape, f) is None
+        ht = plan_grid(shape, f)
+        assert ht is not None and shape[2] % ht == 0
+        assert pallas_covered(shape, f) == "grid"
+    # resident coverage stays preferred where it fits
+    assert pallas_covered((256, 8, 14, 14, 96), 208) == "resident"

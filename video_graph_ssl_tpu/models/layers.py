@@ -305,12 +305,12 @@ class SepConv3d(nn.Module):
         k, s, p = self.kernel_size, self.strides, self.padding
         if (self.fused_bwd and not self.temporal_bias
                 and (k, s, p) == (3, 1, 1)):
-            from ..ops.pallas.sepconv_bwd import fits_vmem
+            from ..ops.fused_sepconv import pallas_covered
 
-            # instances too large for the per-batch-element VMEM slabs
-            # (e.g. the 56x56 stem_3) keep the standard autodiff path —
+            # instances with no covering kernel (resident VMEM slabs or
+            # manual-DMA H-slab grid) keep the standard autodiff path —
             # the XLA fallback sweeps would only add recompute there
-            if fits_vmem(x.shape, self.features):
+            if pallas_covered(x.shape, self.features) is not None:
                 return self._fused(x, train, bn_frozen)
         x = ConvBN(
             features=self.features,

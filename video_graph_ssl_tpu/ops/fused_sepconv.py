@@ -22,9 +22,12 @@ Forward math is bit-identical to the ConvBN composition (flax BatchNorm
 fast-variance stats, same cast points); tests/test_fused_sepconv.py pins
 forward and all seven gradients against jax.grad of the module pair.
 
-Backward runs as Pallas TPU kernels (ops/pallas/sepconv_bwd.py) when the
-shapes fit VMEM and the backend is TPU; otherwise the identical math runs
-as the pure-XLA `_bwd_reference` (also the CPU test oracle).
+Backward runs as Pallas TPU kernels when the backend is a single TPU
+device: resident per-batch-element kernels (ops/pallas/sepconv_bwd.py)
+where one element fits VMEM, manual-DMA H-slab grid kernels
+(ops/pallas/sepconv_bwd_grid.py) for the large early stages (the stem
+SepConv and mixed_3c branch1).  Otherwise the identical math runs as the
+pure-XLA `_bwd_reference` (also the CPU test oracle).
 """
 
 from __future__ import annotations
@@ -169,17 +172,43 @@ def _dw_spatial(x, dy):
     return jnp.stack(rows)[None].reshape(1, 3, 3, x.shape[-1], dy.shape[-1])
 
 
-def _use_pallas(x, f_out) -> bool:
-    """Pallas path: single TPU device + per-element working set fits VMEM.
+def pallas_covered(x_shape, f_out) -> str | None:
+    """Which Pallas backward covers this shape: 'resident' (whole batch
+    element in VMEM, ops/pallas/sepconv_bwd.py), 'grid' (manual-DMA H
+    slabs, ops/pallas/sepconv_bwd_grid.py), or None.
+
+    ``VGS_SEPCONV_NOGRID=1`` shrinks coverage to resident-only (A/B knob
+    for chip trials)."""
+    import os
+
+    from .pallas.sepconv_bwd import fits_vmem
+
+    if fits_vmem(x_shape, f_out):
+        return "resident"
+    if os.environ.get("VGS_SEPCONV_NOGRID", "0") == "1":
+        return None
+    from .pallas.sepconv_bwd_grid import plan_grid
+
+    if plan_grid(x_shape, f_out) is not None:
+        return "grid"
+    return None
+
+
+def _pallas_mode(x, f_out) -> str | None:
+    """Pallas path: single TPU device + a covering kernel exists.
 
     Multi-device meshes keep the XLA sweeps (same math): pallas_call has
     no GSPMD partitioning rule here, and the global-batch BN sums must
-    span the data axis anyway."""
-    if jax.default_backend() != "tpu" or jax.device_count() != 1:
-        return False
-    from .pallas.sepconv_bwd import fits_vmem
+    span the data axis anyway.  ``VGS_SEPCONV_XLA=1`` forces the XLA
+    sweeps on TPU too — measures the recompute restructure on its own
+    (and is the escape hatch if Mosaic rejects the kernels)."""
+    import os
 
-    return fits_vmem(x.shape, f_out)
+    if os.environ.get("VGS_SEPCONV_XLA", "0") == "1":
+        return None
+    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+        return None
+    return pallas_covered(x.shape, f_out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -202,11 +231,17 @@ def _fused_fwd(x, ws, wt, g1, b1, g2, b2, dtype):
 def _fused_bwd(dtype, res, cts):
     g, _g_stats = cts  # stats cotangents are discarded (buffer-write only)
     (x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2) = res
-    if _use_pallas(x, wt.shape[-1]):
+    mode = _pallas_mode(x, wt.shape[-1])
+    if mode == "resident":
         from .pallas.sepconv_bwd import sepconv_bwd_pallas
 
         grads = sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2,
                                    mu1, var1, mu2, var2, g, dtype)
+    elif mode == "grid":
+        from .pallas.sepconv_bwd_grid import sepconv_bwd_pallas_grid
+
+        grads = sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2,
+                                        mu1, var1, mu2, var2, g, dtype)
     else:
         grads = _bwd_reference(res + (dtype,), g)
     return grads

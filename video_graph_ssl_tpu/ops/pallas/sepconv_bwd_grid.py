@@ -1,0 +1,309 @@
+"""Grid-slab Pallas backward for SepConv3d pairs too large to sit in VMEM.
+
+Extends ops/pallas/sepconv_bwd.py (same 3-sweep recompute math, same
+reference hot path s3d_1.py:50-69) to the early high-resolution stages —
+at the bench geometry these are the stem SepConv (64->192 @ 8x28x28) and
+mixed_3c branch1 (128->192 @ 8x28x28), the two largest SepConvs in the
+net — where even one batch element's activations exceed VMEM.
+
+Instead of BlockSpec-delivered per-element blocks, the big operands stay
+in HBM (``pl.ANY``) and each kernel manually DMAs overlapping H slabs:
+
+    x slab   rows [h0-halo, h0+ht+halo)  (halo 1 for sweeps 1-2, 2 for 3)
+    g slab   rows [h0, h0+ht)            (no halo)
+    dz1      written by sweep 2 into an H-padded HBM buffer so sweep 3's
+             halo reads need no edge logic (edge rows are zero-DMA'd)
+
+Image-edge halo rows are zero-filled in the slab (the convs are
+zero-padded), and sweep 3 zeroes the dy1 halo rows that fall outside the
+image (those rows do not exist; their dz1 is zero but their BN backward
+term is not).  All slab offsets are static python-loop constants, so
+every DMA has static shape.
+
+Math and cast points are identical to sepconv_bwd's resident kernels and
+``_bwd_reference`` (the CPU/test oracle); tests/test_fused_sepconv.py
+pins interpret-mode equality including multi-slab edge cases."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sepconv_bwd import (_EPS, _VMEM_BUDGET, _slab_to_z2,
+                          _taps_spatial, _taps_temporal)
+
+
+def _ws_grid(t, h, w, c, f, ht, dsize=2) -> int:
+    """Rough VMEM bytes for one slab iteration of the grid kernels."""
+    xs = t * (ht + 4) * (w + 2) * c * dsize
+    gs = t * ht * w * f * dsize
+    ds1 = t * (ht + 2) * w * f * dsize
+    dxs = t * ht * w * c * dsize
+    zrow = t * w * f * dsize
+    rows_e = t * (ht + 2) * w
+    interm = 6 * rows_e * max(c, f) * 4
+    accs = 9 * c * f * 4 + 3 * f * f * 4 + 6 * f * 4
+    return xs + gs + ds1 + dxs + zrow + interm + accs
+
+
+def plan_grid(x_shape, f_out) -> int | None:
+    """Largest H-divisor slab height whose working set fits VMEM."""
+    _, t, h, w, c = x_shape
+    for ht in [d for d in range(h, 0, -1) if h % d == 0]:
+        if _ws_grid(t, h, w, c, f_out, ht) <= _VMEM_BUDGET:
+            return ht
+    return None
+
+
+def _dma(src, dst, sem):
+    cp = pltpu.make_async_copy(src, dst, sem)
+    cp.start()
+    cp.wait()
+
+
+def _load_x_slab(xh, xs, sem, b, h0, ht, halo, dims):
+    """DMA x rows [h0-halo, h0+ht+halo) into the W-padded slab ``xs``,
+    zero-filling rows that fall outside the image.  W pad columns must
+    already be zeroed (once per element)."""
+    t, h, w, cc, _f = dims
+    lo, hi = max(h0 - halo, 0), min(h0 + ht + halo, h)
+    tp = lo - (h0 - halo)
+    bp = (h0 + ht + halo) - hi
+    span = ht + 2 * halo
+    if tp:
+        xs[:, 0:tp, 1:w + 1, :] = jnp.zeros((t, tp, w, cc), xs.dtype)
+    if bp:
+        xs[:, span - bp:span, 1:w + 1, :] = jnp.zeros((t, bp, w, cc),
+                                                      xs.dtype)
+    _dma(xh.at[b, :, pl.ds(lo, hi - lo)],
+         xs.at[:, pl.ds(tp, hi - lo), pl.ds(1, w)], sem)
+
+
+def _k1g(xh, gh, ws_ref, wt_ref, c_ref, out_ref, acc, xs, gs, sem,
+         *, dims, ht, dtype):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    t, h, w, cc, f = dims
+    c = c_ref[:]
+    ws, wt = ws_ref[0], wt_ref[:, 0, 0]
+    xs[:, :, 0:1, :] = jnp.zeros((t, ht + 2, 1, cc), xs.dtype)
+    xs[:, :, w + 1:w + 2, :] = jnp.zeros((t, ht + 2, 1, cc), xs.dtype)
+    for h0 in range(0, h, ht):
+        _load_x_slab(xh, xs, sem, b, h0, ht, 1, dims)
+        _dma(gh.at[b, :, pl.ds(h0, ht)], gs, sem)
+        _x1, _z1, _a, xhat2, z2 = _slab_to_z2(xs, ws, wt, c, 0, ht, w, f,
+                                              dtype)
+        gf = gs[:].reshape(t * ht * w, f).astype(jnp.float32)
+        dz2 = jnp.where(z2 > 0, gf, 0.0)
+        acc[0, :] += jnp.sum(dz2, axis=0)
+        acc[1, :] += jnp.sum(dz2 * xhat2, axis=0)
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc[:]
+
+
+def _k2g(xh, gh, ws_ref, wt_ref, c_ref, m2_ref, dz1h, dwt_ref, s1_ref,
+         dwt_acc, s1_acc, xs, gs, dzs, zrow, sem,
+         *, dims, ht, dtype):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        dwt_acc[:] = jnp.zeros_like(dwt_acc)
+        s1_acc[:] = jnp.zeros_like(s1_acc)
+
+    t, h, w, cc, f = dims
+    c = c_ref[:]
+    ws, wt = ws_ref[0], wt_ref[:, 0, 0]
+    alpha2 = c[6] * c[5]  # g2 * rs2
+    xs[:, :, 0:1, :] = jnp.zeros((t, ht + 2, 1, cc), xs.dtype)
+    xs[:, :, w + 1:w + 2, :] = jnp.zeros((t, ht + 2, 1, cc), xs.dtype)
+    # the H-padded dz1 buffer's edge rows are never computed — zero them
+    zrow[:] = jnp.zeros_like(zrow)
+    _dma(zrow, dz1h.at[b, :, pl.ds(0, 1)], sem)
+    _dma(zrow, dz1h.at[b, :, pl.ds(h + 1, 1)], sem)
+    for h0 in range(0, h, ht):
+        rows = t * ht * w
+        _load_x_slab(xh, xs, sem, b, h0, ht, 1, dims)
+        _dma(gh.at[b, :, pl.ds(h0, ht)], gs, sem)
+        xhat1, z1, a4, xhat2, z2 = _slab_to_z2(xs, ws, wt, c, 0, ht, w, f,
+                                               dtype)
+        gf = gs[:].reshape(rows, f).astype(jnp.float32)
+        dz2 = jnp.where(z2 > 0, gf, 0.0)
+        dy2 = alpha2 * (dz2 - m2_ref[0, :] - xhat2 * m2_ref[1, :])
+        dy2c = dy2.astype(dtype)
+
+        ap = jnp.pad(a4, ((1, 1), (0, 0), (0, 0), (0, 0)))
+        dy2r = dy2c.reshape(rows, f)
+        for k in range(3):
+            ak = ap[k:k + t].reshape(rows, f)
+            dwt_acc[k] += jax.lax.dot_general(
+                ak, dy2r, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        da = _taps_temporal(dy2c.reshape(t, ht, w, f), wt, f,
+                            flip=True, transpose=True)
+        dz1 = jnp.where(z1 > 0, da, 0.0)
+        s1_acc[0, :] += jnp.sum(dz1, axis=0)
+        s1_acc[1, :] += jnp.sum(dz1 * xhat1, axis=0)
+        dzs[:] = dz1.reshape(t, ht, w, f).astype(dzs.dtype)
+        _dma(dzs, dz1h.at[b, :, pl.ds(h0 + 1, ht)], sem)
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        dwt_ref[:] = dwt_acc[:]
+        s1_ref[:] = s1_acc[:]
+
+
+def _k3g(xh, dz1h, ws_ref, c_ref, m1_ref, dx_ref, dws_ref,
+         dws_acc, xs, ds1, dxs, sem, *, dims, ht, dtype):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        dws_acc[:] = jnp.zeros_like(dws_acc)
+
+    t, h, w, cc, f = dims
+    c = c_ref[:]
+    ws = ws_ref[0]
+    alpha1 = c[2] * c[1]  # g1 * rs1
+    xs[:, :, 0:1, :] = jnp.zeros((t, ht + 4, 1, cc), xs.dtype)
+    xs[:, :, w + 1:w + 2, :] = jnp.zeros((t, ht + 4, 1, cc), xs.dtype)
+    for h0 in range(0, h, ht):
+        rows = t * ht * w
+        rows_e = t * (ht + 2) * w
+        _load_x_slab(xh, xs, sem, b, h0, ht, 2, dims)
+        _dma(dz1h.at[b, :, pl.ds(h0, ht + 2)], ds1, sem)
+
+        # dy1 on the extended rows [h0-1, h0+ht+1): recompute xhat1 there
+        y1e = _taps_spatial(xs, ws, 0, ht + 2, w, f)
+        y1e = y1e.astype(dtype).astype(jnp.float32)
+        xhat1e = (y1e - c[0]) * c[1]
+        dz1e = ds1[:].reshape(rows_e, f).astype(jnp.float32)
+        dy1e = alpha1 * (dz1e - m1_ref[0, :] - xhat1e * m1_ref[1, :])
+        # halo rows outside the image do not exist — zero their dy1
+        # (their dz1 is already zero, but the BN mean terms are not);
+        # h0 is a static loop constant, so the zeroing is static slices
+        dy1e4 = dy1e.reshape(t, ht + 2, w, f)
+        if h0 == 0:
+            dy1e4 = jnp.concatenate(
+                [jnp.zeros_like(dy1e4[:, :1]), dy1e4[:, 1:]], axis=1)
+        if h0 + ht == h:
+            dy1e4 = jnp.concatenate(
+                [dy1e4[:, :-1], jnp.zeros_like(dy1e4[:, -1:])], axis=1)
+        dy1c = dy1e4.astype(dtype)
+
+        # dWs taps over the center rows (x halo is resident in xs)
+        dy1r = dy1c[:, 1:ht + 1].reshape(rows, f)
+        for kh in range(3):
+            for kw in range(3):
+                xk = xs[:, kh + 1:kh + 1 + ht, kw:kw + w, :].reshape(
+                    rows, cc)
+                dws_acc[kh * 3 + kw] += jax.lax.dot_general(
+                    xk, dy1r, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        # dx center rows from the W-padded extended dy1
+        dy1p = jnp.pad(dy1c, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        dx = jnp.zeros((rows, cc), jnp.float32)
+        for dh in range(3):
+            for dw in range(3):
+                sl = dy1p[:, dh:dh + ht, dw:dw + w, :].reshape(rows, f)
+                dx += jnp.dot(sl, ws[2 - dh, 2 - dw].T,
+                              preferred_element_type=jnp.float32)
+        dxs[:] = dx.reshape(t, ht, w, cc).astype(dxs.dtype)
+        _dma(dxs, dx_ref.at[b, :, pl.ds(h0, ht)], sem)
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        dws_ref[:] = dws_acc[:]
+
+
+def sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2,
+                            var2, g, dtype, interpret: bool = False,
+                            h_tile: int | None = None):
+    """Grid-slab variant of sepconv_bwd_pallas; identical return contract."""
+    bsz, t, h, w, cc = x.shape
+    f = ws.shape[-1]
+    dims = (t, h, w, cc, f)
+    if h_tile is None:
+        h_tile = plan_grid(x.shape, f)
+        assert h_tile is not None, (x.shape, f)
+    ht = h_tile
+    n = bsz * t * h * w
+    rs1 = jax.lax.rsqrt(var1 + _EPS)
+    rs2 = jax.lax.rsqrt(var2 + _EPS)
+    consts = jnp.stack([mu1, rs1, g1, b1, mu2, rs2, g2, b2]
+                       ).astype(jnp.float32)
+    xc = x.astype(dtype)
+    wsc = ws.astype(dtype)
+    wtc = wt.astype(dtype)
+
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    vmem_full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    s2 = pl.pallas_call(
+        functools.partial(_k1g, dims=dims, ht=ht, dtype=dtype),
+        grid=(bsz,),
+        in_specs=[hbm, hbm, vmem_full(ws.shape), vmem_full(wt.shape),
+                  vmem_full(consts.shape)],
+        out_specs=vmem_full((2, f)),
+        out_shape=jax.ShapeDtypeStruct((2, f), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, f), jnp.float32),
+                        pltpu.VMEM((t, ht + 2, w + 2, cc), dtype),
+                        pltpu.VMEM((t, ht, w, f), g.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(xc, g, wsc, wtc, consts)
+    m2 = s2 / n
+
+    dz1h, dwt, s1 = pl.pallas_call(
+        functools.partial(_k2g, dims=dims, ht=ht, dtype=dtype),
+        grid=(bsz,),
+        in_specs=[hbm, hbm, vmem_full(ws.shape), vmem_full(wt.shape),
+                  vmem_full(consts.shape), vmem_full((2, f))],
+        out_specs=(hbm, vmem_full((3, f, f)), vmem_full((2, f))),
+        out_shape=(jax.ShapeDtypeStruct((bsz, t, h + 2, w, f), dtype),
+                   jax.ShapeDtypeStruct((3, f, f), jnp.float32),
+                   jax.ShapeDtypeStruct((2, f), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((3, f, f), jnp.float32),
+                        pltpu.VMEM((2, f), jnp.float32),
+                        pltpu.VMEM((t, ht + 2, w + 2, cc), dtype),
+                        pltpu.VMEM((t, ht, w, f), g.dtype),
+                        pltpu.VMEM((t, ht, w, f), dtype),
+                        pltpu.VMEM((t, 1, w, f), dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(xc, g, wsc, wtc, consts, m2)
+    m1 = s1 / n
+
+    dx, dws = pl.pallas_call(
+        functools.partial(_k3g, dims=dims, ht=ht, dtype=dtype),
+        grid=(bsz,),
+        in_specs=[hbm, hbm, vmem_full(ws.shape), vmem_full(consts.shape),
+                  vmem_full((2, f))],
+        out_specs=(hbm, vmem_full((9, cc, f))),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((9, cc, f), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((9, cc, f), jnp.float32),
+                        pltpu.VMEM((t, ht + 4, w + 2, cc), dtype),
+                        pltpu.VMEM((t, ht + 2, w, f), dtype),
+                        pltpu.VMEM((t, ht, w, cc), x.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(xc, dz1h, wsc, consts, m1)
+
+    return (dx, dws.reshape(1, 3, 3, cc, f).astype(ws.dtype),
+            dwt.reshape(3, 1, 1, f, f).astype(wt.dtype),
+            s1[1].astype(g1.dtype), s1[0].astype(b1.dtype),
+            s2[1].astype(g2.dtype), s2[0].astype(b2.dtype))
