@@ -7,18 +7,20 @@ mixed_3c branch1 (128->192 @ 8x28x28), the two largest SepConvs in the
 net — where even one batch element's activations exceed VMEM.
 
 Instead of BlockSpec-delivered per-element blocks, the big operands stay
-in HBM (``pl.ANY``) and each kernel manually DMAs overlapping H slabs:
+in HBM (``pl.ANY``) and each kernel manually DMAs overlapping H slabs,
+double-buffered so slab j+1's loads overlap slab j's compute (and slab
+writes overlap via two out-slots):
 
     x slab   rows [h0-halo, h0+ht+halo)  (halo 1 for sweeps 1-2, 2 for 3)
     g slab   rows [h0, h0+ht)            (no halo)
     dz1      written by sweep 2 into an H-padded HBM buffer so sweep 3's
              halo reads need no edge logic (edge rows are zero-DMA'd)
 
-Image-edge halo rows are zero-filled in the slab (the convs are
-zero-padded), and sweep 3 zeroes the dy1 halo rows that fall outside the
-image (those rows do not exist; their dz1 is zero but their BN backward
-term is not).  All slab offsets are static python-loop constants, so
-every DMA has static shape.
+Image-edge halo rows are zero-filled in the slab before its DMA starts
+(the zero rows and the DMA'd rows are disjoint), and sweep 3 zeroes the
+dy1 halo rows that fall outside the image (those rows do not exist;
+their dz1 is zero but their BN backward mean terms are not).  All slab
+offsets are static python-loop constants, so every DMA has static shape.
 
 Math and cast points are identical to sepconv_bwd's resident kernels and
 ``_bwd_reference`` (the CPU/test oracle); tests/test_fused_sepconv.py
@@ -38,11 +40,11 @@ from .sepconv_bwd import (_EPS, _VMEM_BUDGET, _slab_to_z2,
 
 
 def _ws_grid(t, h, w, c, f, ht, dsize=2) -> int:
-    """Rough VMEM bytes for one slab iteration of the grid kernels."""
-    xs = t * (ht + 4) * (w + 2) * c * dsize
-    gs = t * ht * w * f * dsize
-    ds1 = t * (ht + 2) * w * f * dsize
-    dxs = t * ht * w * c * dsize
+    """Rough VMEM bytes for one slab iteration (slabs double-buffered)."""
+    xs = 2 * t * (ht + 4) * (w + 2) * c * dsize
+    gs = 2 * t * ht * w * f * dsize
+    ds1 = 2 * t * (ht + 2) * w * f * dsize
+    dxs = 2 * t * ht * w * c * dsize
     zrow = t * w * f * dsize
     rows_e = t * (ht + 2) * w
     interm = 6 * rows_e * max(c, f) * 4
@@ -59,31 +61,40 @@ def plan_grid(x_shape, f_out) -> int | None:
     return None
 
 
-def _dma(src, dst, sem):
+def _issue(src, dst, sem):
     cp = pltpu.make_async_copy(src, dst, sem)
     cp.start()
-    cp.wait()
+    return cp
 
 
-def _load_x_slab(xh, xs, sem, b, h0, ht, halo, dims):
-    """DMA x rows [h0-halo, h0+ht+halo) into the W-padded slab ``xs``,
-    zero-filling rows that fall outside the image.  W pad columns must
-    already be zeroed (once per element)."""
+def _issue_x(xh, xs, semx, slot, b, h0, ht, halo, dims):
+    """Zero-fill the image-edge rows of slab slot ``slot`` and start its
+    x DMA (rows [h0-halo, h0+ht+halo), clamped).  The zero rows and the
+    DMA'd rows are disjoint, so the fills never race the copy.  W pad
+    columns are zeroed once per element by the caller."""
     t, h, w, cc, _f = dims
     lo, hi = max(h0 - halo, 0), min(h0 + ht + halo, h)
     tp = lo - (h0 - halo)
     bp = (h0 + ht + halo) - hi
     span = ht + 2 * halo
     if tp:
-        xs[:, 0:tp, 1:w + 1, :] = jnp.zeros((t, tp, w, cc), xs.dtype)
+        xs[slot, :, 0:tp, 1:w + 1, :] = jnp.zeros((t, tp, w, cc), xs.dtype)
     if bp:
-        xs[:, span - bp:span, 1:w + 1, :] = jnp.zeros((t, bp, w, cc),
-                                                      xs.dtype)
-    _dma(xh.at[b, :, pl.ds(lo, hi - lo)],
-         xs.at[:, pl.ds(tp, hi - lo), pl.ds(1, w)], sem)
+        xs[slot, :, span - bp:span, 1:w + 1, :] = jnp.zeros(
+            (t, bp, w, cc), xs.dtype)
+    return _issue(xh.at[b, :, pl.ds(lo, hi - lo)],
+                  xs.at[slot, :, pl.ds(tp, hi - lo), pl.ds(1, w)],
+                  semx.at[slot])
 
 
-def _k1g(xh, gh, ws_ref, wt_ref, c_ref, out_ref, acc, xs, gs, sem,
+def _zero_w_pad(xs, t, span, cc):
+    wp = xs.shape[3]  # W + 2
+    for s in (0, 1):
+        xs[s, :, :, 0:1, :] = jnp.zeros((t, span, 1, cc), xs.dtype)
+        xs[s, :, :, wp - 1:wp, :] = jnp.zeros((t, span, 1, cc), xs.dtype)
+
+
+def _k1g(xh, gh, ws_ref, wt_ref, c_ref, out_ref, acc, xs, gs, semx, semg,
          *, dims, ht, dtype):
     b = pl.program_id(0)
 
@@ -94,14 +105,26 @@ def _k1g(xh, gh, ws_ref, wt_ref, c_ref, out_ref, acc, xs, gs, sem,
     t, h, w, cc, f = dims
     c = c_ref[:]
     ws, wt = ws_ref[0], wt_ref[:, 0, 0]
-    xs[:, :, 0:1, :] = jnp.zeros((t, ht + 2, 1, cc), xs.dtype)
-    xs[:, :, w + 1:w + 2, :] = jnp.zeros((t, ht + 2, 1, cc), xs.dtype)
-    for h0 in range(0, h, ht):
-        _load_x_slab(xh, xs, sem, b, h0, ht, 1, dims)
-        _dma(gh.at[b, :, pl.ds(h0, ht)], gs, sem)
-        _x1, _z1, _a, xhat2, z2 = _slab_to_z2(xs, ws, wt, c, 0, ht, w, f,
-                                              dtype)
-        gf = gs[:].reshape(t * ht * w, f).astype(jnp.float32)
+    _zero_w_pad(xs, t, ht + 2, cc)
+    nhb = h // ht
+    pend = {}
+
+    def issue(jj):
+        h0, slot = jj * ht, jj % 2
+        pend[jj] = (
+            _issue_x(xh, xs, semx, slot, b, h0, ht, 1, dims),
+            _issue(gh.at[b, :, pl.ds(h0, ht)], gs.at[slot], semg.at[slot]))
+
+    issue(0)
+    for jj in range(nhb):
+        if jj + 1 < nhb:
+            issue(jj + 1)
+        for cp in pend.pop(jj):
+            cp.wait()
+        slot = jj % 2
+        _x1, _z1, _a, xhat2, z2 = _slab_to_z2(xs[slot], ws, wt, c, 0, ht,
+                                              w, f, dtype)
+        gf = gs[slot].reshape(t * ht * w, f).astype(jnp.float32)
         dz2 = jnp.where(z2 > 0, gf, 0.0)
         acc[0, :] += jnp.sum(dz2, axis=0)
         acc[1, :] += jnp.sum(dz2 * xhat2, axis=0)
@@ -112,7 +135,7 @@ def _k1g(xh, gh, ws_ref, wt_ref, c_ref, out_ref, acc, xs, gs, sem,
 
 
 def _k2g(xh, gh, ws_ref, wt_ref, c_ref, m2_ref, dz1h, dwt_ref, s1_ref,
-         dwt_acc, s1_acc, xs, gs, dzs, zrow, sem,
+         dwt_acc, s1_acc, xs, gs, dzs, zrow, semx, semg, semo, semz,
          *, dims, ht, dtype):
     b = pl.program_id(0)
 
@@ -125,19 +148,33 @@ def _k2g(xh, gh, ws_ref, wt_ref, c_ref, m2_ref, dz1h, dwt_ref, s1_ref,
     c = c_ref[:]
     ws, wt = ws_ref[0], wt_ref[:, 0, 0]
     alpha2 = c[6] * c[5]  # g2 * rs2
-    xs[:, :, 0:1, :] = jnp.zeros((t, ht + 2, 1, cc), xs.dtype)
-    xs[:, :, w + 1:w + 2, :] = jnp.zeros((t, ht + 2, 1, cc), xs.dtype)
+    _zero_w_pad(xs, t, ht + 2, cc)
     # the H-padded dz1 buffer's edge rows are never computed — zero them
     zrow[:] = jnp.zeros_like(zrow)
-    _dma(zrow, dz1h.at[b, :, pl.ds(0, 1)], sem)
-    _dma(zrow, dz1h.at[b, :, pl.ds(h + 1, 1)], sem)
-    for h0 in range(0, h, ht):
+    ztop = _issue(zrow, dz1h.at[b, :, pl.ds(0, 1)], semz)
+    ztop.wait()
+    zbot = _issue(zrow, dz1h.at[b, :, pl.ds(h + 1, 1)], semz)
+    zbot.wait()
+    nhb = h // ht
+    pend, out_pend = {}, {}
+
+    def issue(jj):
+        h0, slot = jj * ht, jj % 2
+        pend[jj] = (
+            _issue_x(xh, xs, semx, slot, b, h0, ht, 1, dims),
+            _issue(gh.at[b, :, pl.ds(h0, ht)], gs.at[slot], semg.at[slot]))
+
+    issue(0)
+    for jj in range(nhb):
+        if jj + 1 < nhb:
+            issue(jj + 1)
+        for cp in pend.pop(jj):
+            cp.wait()
+        h0, slot = jj * ht, jj % 2
         rows = t * ht * w
-        _load_x_slab(xh, xs, sem, b, h0, ht, 1, dims)
-        _dma(gh.at[b, :, pl.ds(h0, ht)], gs, sem)
-        xhat1, z1, a4, xhat2, z2 = _slab_to_z2(xs, ws, wt, c, 0, ht, w, f,
-                                               dtype)
-        gf = gs[:].reshape(rows, f).astype(jnp.float32)
+        xhat1, z1, a4, xhat2, z2 = _slab_to_z2(xs[slot], ws, wt, c, 0, ht,
+                                               w, f, dtype)
+        gf = gs[slot].reshape(rows, f).astype(jnp.float32)
         dz2 = jnp.where(z2 > 0, gf, 0.0)
         dy2 = alpha2 * (dz2 - m2_ref[0, :] - xhat2 * m2_ref[1, :])
         dy2c = dy2.astype(dtype)
@@ -155,8 +192,14 @@ def _k2g(xh, gh, ws_ref, wt_ref, c_ref, m2_ref, dz1h, dwt_ref, s1_ref,
         dz1 = jnp.where(z1 > 0, da, 0.0)
         s1_acc[0, :] += jnp.sum(dz1, axis=0)
         s1_acc[1, :] += jnp.sum(dz1 * xhat1, axis=0)
-        dzs[:] = dz1.reshape(t, ht, w, f).astype(dzs.dtype)
-        _dma(dzs, dz1h.at[b, :, pl.ds(h0 + 1, ht)], sem)
+        if jj >= 2:
+            out_pend.pop(jj - 2).wait()
+        dzs[slot] = dz1.reshape(t, ht, w, f).astype(dzs.dtype)
+        out_pend[jj] = _issue(dzs.at[slot],
+                              dz1h.at[b, :, pl.ds(h0 + 1, ht)],
+                              semo.at[slot])
+    for cp in out_pend.values():
+        cp.wait()
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
@@ -165,7 +208,7 @@ def _k2g(xh, gh, ws_ref, wt_ref, c_ref, m2_ref, dz1h, dwt_ref, s1_ref,
 
 
 def _k3g(xh, dz1h, ws_ref, c_ref, m1_ref, dx_ref, dws_ref,
-         dws_acc, xs, ds1, dxs, sem, *, dims, ht, dtype):
+         dws_acc, xs, ds1, dxs, semx, semd, semo, *, dims, ht, dtype):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -176,19 +219,33 @@ def _k3g(xh, dz1h, ws_ref, c_ref, m1_ref, dx_ref, dws_ref,
     c = c_ref[:]
     ws = ws_ref[0]
     alpha1 = c[2] * c[1]  # g1 * rs1
-    xs[:, :, 0:1, :] = jnp.zeros((t, ht + 4, 1, cc), xs.dtype)
-    xs[:, :, w + 1:w + 2, :] = jnp.zeros((t, ht + 4, 1, cc), xs.dtype)
-    for h0 in range(0, h, ht):
+    _zero_w_pad(xs, t, ht + 4, cc)
+    nhb = h // ht
+    pend, out_pend = {}, {}
+
+    def issue(jj):
+        h0, slot = jj * ht, jj % 2
+        pend[jj] = (
+            _issue_x(xh, xs, semx, slot, b, h0, ht, 2, dims),
+            _issue(dz1h.at[b, :, pl.ds(h0, ht + 2)], ds1.at[slot],
+                   semd.at[slot]))
+
+    issue(0)
+    for jj in range(nhb):
+        if jj + 1 < nhb:
+            issue(jj + 1)
+        for cp in pend.pop(jj):
+            cp.wait()
+        h0, slot = jj * ht, jj % 2
         rows = t * ht * w
         rows_e = t * (ht + 2) * w
-        _load_x_slab(xh, xs, sem, b, h0, ht, 2, dims)
-        _dma(dz1h.at[b, :, pl.ds(h0, ht + 2)], ds1, sem)
+        xsl = xs[slot]
 
         # dy1 on the extended rows [h0-1, h0+ht+1): recompute xhat1 there
-        y1e = _taps_spatial(xs, ws, 0, ht + 2, w, f)
+        y1e = _taps_spatial(xsl, ws, 0, ht + 2, w, f)
         y1e = y1e.astype(dtype).astype(jnp.float32)
         xhat1e = (y1e - c[0]) * c[1]
-        dz1e = ds1[:].reshape(rows_e, f).astype(jnp.float32)
+        dz1e = ds1[slot].reshape(rows_e, f).astype(jnp.float32)
         dy1e = alpha1 * (dz1e - m1_ref[0, :] - xhat1e * m1_ref[1, :])
         # halo rows outside the image do not exist — zero their dy1
         # (their dz1 is already zero, but the BN mean terms are not);
@@ -202,11 +259,11 @@ def _k3g(xh, dz1h, ws_ref, c_ref, m1_ref, dx_ref, dws_ref,
                 [dy1e4[:, :-1], jnp.zeros_like(dy1e4[:, -1:])], axis=1)
         dy1c = dy1e4.astype(dtype)
 
-        # dWs taps over the center rows (x halo is resident in xs)
+        # dWs taps over the center rows (x halo is resident in the slab)
         dy1r = dy1c[:, 1:ht + 1].reshape(rows, f)
         for kh in range(3):
             for kw in range(3):
-                xk = xs[:, kh + 1:kh + 1 + ht, kw:kw + w, :].reshape(
+                xk = xsl[:, kh + 1:kh + 1 + ht, kw:kw + w, :].reshape(
                     rows, cc)
                 dws_acc[kh * 3 + kw] += jax.lax.dot_general(
                     xk, dy1r, (((0,), (0,)), ((), ())),
@@ -220,8 +277,13 @@ def _k3g(xh, dz1h, ws_ref, c_ref, m1_ref, dx_ref, dws_ref,
                 sl = dy1p[:, dh:dh + ht, dw:dw + w, :].reshape(rows, f)
                 dx += jnp.dot(sl, ws[2 - dh, 2 - dw].T,
                               preferred_element_type=jnp.float32)
-        dxs[:] = dx.reshape(t, ht, w, cc).astype(dxs.dtype)
-        _dma(dxs, dx_ref.at[b, :, pl.ds(h0, ht)], sem)
+        if jj >= 2:
+            out_pend.pop(jj - 2).wait()
+        dxs[slot] = dx.reshape(t, ht, w, cc).astype(dxs.dtype)
+        out_pend[jj] = _issue(dxs.at[slot], dx_ref.at[b, :, pl.ds(h0, ht)],
+                              semo.at[slot])
+    for cp in out_pend.values():
+        cp.wait()
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
@@ -251,6 +313,7 @@ def sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2,
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     vmem_full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    dma2 = pltpu.SemaphoreType.DMA((2,))
 
     s2 = pl.pallas_call(
         functools.partial(_k1g, dims=dims, ht=ht, dtype=dtype),
@@ -260,9 +323,9 @@ def sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2,
         out_specs=vmem_full((2, f)),
         out_shape=jax.ShapeDtypeStruct((2, f), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, f), jnp.float32),
-                        pltpu.VMEM((t, ht + 2, w + 2, cc), dtype),
-                        pltpu.VMEM((t, ht, w, f), g.dtype),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.VMEM((2, t, ht + 2, w + 2, cc), dtype),
+                        pltpu.VMEM((2, t, ht, w, f), g.dtype),
+                        dma2, dma2],
         interpret=interpret,
     )(xc, g, wsc, wtc, consts)
     m2 = s2 / n
@@ -278,10 +341,11 @@ def sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2,
                    jax.ShapeDtypeStruct((2, f), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((3, f, f), jnp.float32),
                         pltpu.VMEM((2, f), jnp.float32),
-                        pltpu.VMEM((t, ht + 2, w + 2, cc), dtype),
-                        pltpu.VMEM((t, ht, w, f), g.dtype),
-                        pltpu.VMEM((t, ht, w, f), dtype),
+                        pltpu.VMEM((2, t, ht + 2, w + 2, cc), dtype),
+                        pltpu.VMEM((2, t, ht, w, f), g.dtype),
+                        pltpu.VMEM((2, t, ht, w, f), dtype),
                         pltpu.VMEM((t, 1, w, f), dtype),
+                        dma2, dma2, dma2,
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(xc, g, wsc, wtc, consts, m2)
@@ -296,10 +360,10 @@ def sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2,
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
                    jax.ShapeDtypeStruct((9, cc, f), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((9, cc, f), jnp.float32),
-                        pltpu.VMEM((t, ht + 4, w + 2, cc), dtype),
-                        pltpu.VMEM((t, ht + 2, w, f), dtype),
-                        pltpu.VMEM((t, ht, w, cc), x.dtype),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.VMEM((2, t, ht + 4, w + 2, cc), dtype),
+                        pltpu.VMEM((2, t, ht + 2, w, f), dtype),
+                        pltpu.VMEM((2, t, ht, w, cc), x.dtype),
+                        dma2, dma2, dma2],
         interpret=interpret,
     )(xc, dz1h, wsc, consts, m1)
 
