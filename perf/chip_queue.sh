@@ -21,8 +21,8 @@ run_trial() {
   local tag="$1"; shift
   local envs="$1"; shift
   echo "=== $tag (env: ${envs:-none}; args: $*)" >&2
-  local raw rc out
-  raw=$(env $envs timeout 1200 python bench.py "$@" 2>/dev/null)
+  local raw rc out errlog="/tmp/chip_queue_${tag}.err"
+  raw=$(env $envs timeout 1200 python bench.py "$@" 2>"$errlog")
   rc=$?
   out=$(printf '%s\n' "$raw" | grep '^{' | tail -1)
   if [ $rc -eq 124 ] || [ $rc -eq 143 ]; then
@@ -31,7 +31,8 @@ run_trial() {
     exit 2
   fi
   if [ -z "$out" ]; then
-    echo "{\"tag\": \"$tag\", \"error\": \"no json (rc=$rc)\"}" >> "$LEDGER"
+    echo "{\"tag\": \"$tag\", \"error\": \"no json (rc=$rc)\", \"stderr_log\": \"$errlog\"}" >> "$LEDGER"
+    tail -5 "$errlog" >&2
     return 1
   fi
   echo "{\"tag\": \"$tag\", \"result\": $out}" >> "$LEDGER"
