@@ -16,7 +16,13 @@ for i in $(seq 1 48); do
   if timeout 120 python -c "import jax; print(jax.devices())" >> "$LOG" 2>&1; then
     echo "$(date -u +%T) relay UP — running chip queue" >> "$LOG"
     bash perf/chip_queue.sh perf/CHIP_QUEUE_r03b.jsonl >> "$LOG" 2>&1
-    echo "queue exit=$? $(date -u +%T)" >> "$LOG"
+    rc=$?
+    echo "queue exit=$rc $(date -u +%T)" >> "$LOG"
+    if [ $rc -eq 0 ]; then
+      echo "$(date -u +%T) running full regime sweep" >> "$LOG"
+      timeout 3600 python perf/regime_bench.py > perf/REGIME_r03b.txt 2>/tmp/regime_r03b.err
+      echo "regime exit=$? $(date -u +%T)" >> "$LOG"
+    fi
     exit 0
   fi
   echo "$(date -u +%T) relay still down (probe $i); sleep 900" >> "$LOG"
