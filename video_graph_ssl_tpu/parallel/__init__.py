@@ -1,5 +1,11 @@
 """Parallelism: mesh construction, shardings, and collective helpers."""
 
+from .sequence import (
+    graph_aug_sequence_parallel,
+    ring_propagate,
+    ring_similarity,
+    rowfold_bernoulli_sample,
+)
 from .mesh import (
     pad_batch_to_multiple,
     batch_sharding,
@@ -22,4 +28,8 @@ __all__ = [
     "local_batch_size",
     "pad_batch_to_multiple",
     "maybe_initialize_distributed",
+    "graph_aug_sequence_parallel",
+    "ring_similarity",
+    "ring_propagate",
+    "rowfold_bernoulli_sample",
 ]
