@@ -48,6 +48,7 @@ fi
 # the only question per trial is the clips/s line.
 run_trial baseline          ""
 run_trial remat             "" TPU.REMAT True
+run_trial remat_convsaved   "" TPU.REMAT True TPU.REMAT_POLICY conv_saved
 run_trial pack_pointwise    "" TPU.PACK_POINTWISE True
 run_trial remat_pack        "" TPU.REMAT True TPU.PACK_POINTWISE True
 run_trial sepconv_nogrid    "VGS_SEPCONV_NOGRID=1" TPU.SEPCONV_FUSED True

@@ -85,6 +85,8 @@ REGIMES = {
     "moco+s2d-sp": ["TPU.STEM_S2D", "spatial"],   # spatial conv only
     "moco+pack": ["TPU.PACK_POINTWISE", "True"],  # packed 1x1x1 branches
     "moco+remat": ["TPU.REMAT", "True"],      # recompute bwd (HBM relief)
+    "moco+remat_convsaved": ["TPU.REMAT", "True",
+                             "TPU.REMAT_POLICY", "conv_saved"],
     "moco+remat+pack": ["TPU.REMAT", "True", "TPU.PACK_POINTWISE", "True"],
     "moco+fusedsep": ["TPU.SEPCONV_FUSED", "True"],  # Pallas 3-sweep bwd
     "simsiam": ["CONTRAST.MEM_TYPE", "simsiam"],

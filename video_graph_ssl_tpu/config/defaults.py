@@ -188,6 +188,11 @@ _C.TPU.PARAM_DTYPE = "float32"           # master params
 _C.TPU.SYNC_BN = True                    # cross-replica batch stats (psum)
 _C.TPU.SHUFFLE_BN = False                # shard_map local-BN ShuffleBN for MoCo keys
 _C.TPU.REMAT = False                     # jax.checkpoint the backbone stages
+_C.TPU.REMAT_POLICY = "block"            # block: recompute whole stages;
+                                         # conv_saved: keep conv outputs,
+                                         # recompute only BN/ReLU epilogues
+                                         # (S3D/S3DG; no conv recompute,
+                                         # ~half the stored activations)
 _C.TPU.STEM_S2D = "off"                  # S3D/S3DG space-to-depth stem:
                                          # off | full | spatial (exact rewrite)
 _C.TPU.PACK_POINTWISE = False            # S3D/S3DG: fuse each inception

@@ -79,6 +79,28 @@ def _resolve_new_length(cfg) -> int:
     return nl if nl > 0 else (1 if cfg.INPUT.MODALITY == "RGB" else 5)
 
 
+def _resolve_remat(cfg, name: str):
+    """TPU.REMAT x TPU.REMAT_POLICY -> the backbone ``remat`` arg.
+
+    False when off; True = block-granular jax.checkpoint (recompute whole
+    stages); 'conv_saved' = checkpoint with save_only_these_names('conv_out')
+    — keep every conv output, recompute only the BN/ReLU epilogues (S3D
+    family only; see layers.ConvBN's checkpoint tag)."""
+    if not bool(cfg.TPU.REMAT):
+        return False
+    policy = str(cfg.TPU.REMAT_POLICY)
+    if policy == "block":
+        return True
+    if policy == "conv_saved":
+        if name not in ("S3D", "S3DG"):
+            raise ValueError(
+                f"TPU.REMAT_POLICY=conv_saved only applies to S3D/S3DG, "
+                f"got {name}")
+        return "conv_saved"
+    raise ValueError(f"TPU.REMAT_POLICY must be block|conv_saved, "
+                     f"got {policy}")
+
+
 def graph_cfg_from(cfg) -> Dict[str, Any]:
     """GRAPH section → TemporalGraphAug kwargs."""
     g = cfg.GRAPH
@@ -135,7 +157,7 @@ def encoder_cfg_from(cfg, aug_flag: bool,
         dropout=float(cfg.MODEL.DROPOUT),
         aug_points=tuple(default_aug) if aug_flag else (),
         graph_cfg=graph_cfg_from(cfg) if aug_flag else None,
-        remat=bool(cfg.TPU.REMAT),
+        remat=_resolve_remat(cfg, name),
         partial_bn=bool(partial_bn),
         modality=cfg.INPUT.MODALITY,
         new_length=_resolve_new_length(cfg),

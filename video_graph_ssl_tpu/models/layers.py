@@ -26,6 +26,7 @@ from typing import Any, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -180,6 +181,12 @@ class ConvBN(nn.Module):
             name="conv",
             **kw,
         )(x)
+        # Checkpoint tag for the 'conv_saved' remat policy (s3d.py): under
+        # nn.remat(policy=save_only_these_names('conv_out')) the backward
+        # keeps conv outputs and recomputes the cheap BN/ReLU epilogues —
+        # half the stored-activation traffic with zero conv recompute.
+        # Outside a remat scope the tag is an identity.
+        x = checkpoint_name(x, "conv_out")
         # bn_frozen: partial-BN — use running stats even in training
         # (reference: VideoModelWrapper.train() override,
         # model_wrappers.py:130-146); affine params still receive grads.

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -71,7 +72,10 @@ class S3D(nn.Module):
     num_classes: Optional[int] = None
     aug_points: Tuple[int, ...] = ()
     graph_cfg: Optional[Dict[str, Any]] = None
-    remat: bool = False
+    # False | True (block-granular recompute) | 'conv_saved' (keep conv
+    # outputs, recompute only BN/ReLU epilogues — no conv recompute,
+    # ~half the stored-activation traffic; TPU.REMAT_POLICY).
+    remat: Any = False
     # S3DG variant (reference S3DG_Pytorch.py:310-355): same topology,
     # biased temporal convs with Normal(0, 0.01) init ('STConv3d').
     temporal_bias: bool = False
@@ -109,10 +113,14 @@ class S3D(nn.Module):
         basic = BasicConv3d
         mixed = InceptionBlock
         if self.remat:
-            sep = nn.remat(sep, static_argnums=(2, 3))
-            sep_s2d = nn.remat(sep_s2d, static_argnums=(2, 3))
-            basic = nn.remat(basic, static_argnums=(2, 3))
-            mixed = nn.remat(mixed, static_argnums=(2, 3))
+            policy = None
+            if self.remat == "conv_saved":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "conv_out")
+            sep = nn.remat(sep, static_argnums=(2, 3), policy=policy)
+            sep_s2d = nn.remat(sep_s2d, static_argnums=(2, 3), policy=policy)
+            basic = nn.remat(basic, static_argnums=(2, 3), policy=policy)
+            mixed = nn.remat(mixed, static_argnums=(2, 3), policy=policy)
 
         if self.stem_s2d:
             stem = lambda h, t, bf: sep_s2d(
