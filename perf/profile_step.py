@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_step(variant, batch):
+def build_step(variant, batch, opts=()):
     import jax
     import jax.numpy as jnp
 
@@ -40,6 +40,8 @@ def build_step(variant, batch):
     cfg = CFG.clone()
     cfg.merge_from_file("configs/visual_moco.yaml")
     cfg.DATASET.SOURCE = "synthetic"
+    if opts:
+        cfg.merge_from_list(list(opts))
     t = int(cfg.INPUT.VIDEO_LENGTH)
     canvas = (int(cfg.INPUT.SCALE_SIZE[0]), int(cfg.INPUT.SCALE_SIZE[1]))
     base = (int(cfg.INPUT.BASE_SIZE[0]), int(cfg.INPUT.BASE_SIZE[1]))
@@ -133,11 +135,13 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="config overrides, e.g. --opts TPU.REMAT True")
     args = ap.parse_args()
 
     import jax
 
-    run = build_step(args.variant, args.batch)
+    run = build_step(args.variant, args.batch, args.opts)
     for _ in range(3):
         out = run()
     float(out)
