@@ -229,7 +229,11 @@ def graph_aug_sequence_parallel(
 ):
     """Convenience wrapper: shard x over (``seq_axis``: frame dim) and run
     ``sp_graph_aug_apply`` under ``shard_map``.  ``x``: (B, T, H, W, C)
-    global; T must divide by the mesh axis size."""
+    global; T must divide by the mesh axis size.
+
+    Builds (and jits) a fresh shard_map per call — fine for demos/tests;
+    steady-state training should embed ``sp_graph_aug_apply`` in its own
+    jitted step to reuse the compiled program."""
     from jax.experimental.shard_map import shard_map
 
     t = x.shape[1]
@@ -247,10 +251,10 @@ def graph_aug_sequence_parallel(
             variables, xl, axis=seq_axis, tem_len=t,
             rng=(r[0] if r else None), **kw)
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(spec,) + rng_specs,
         out_specs=spec,
         check_rep=False,
-    )
+    ))
     return fn(jax.device_put(x, NamedSharding(mesh, spec)), *rng_args)
