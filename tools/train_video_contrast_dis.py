@@ -90,6 +90,7 @@ class Trainer:
         example = self._example_from(probe)
         self.state, self.tx = create_pretrain_state(
             config, self.model, example, n_data=self.n_data)
+        self._load_pretrain_backbone()
         self.state = replicate_state(self.state, self.mesh)
 
         step_fn = make_fused_pretrain_step(config, self.model, self.tx,
@@ -132,6 +133,50 @@ class Trainer:
         else:
             shape = (2, t, base[0], base[1], 3)
         return np.zeros(shape, np.float32)
+
+    def _load_pretrain_backbone(self):
+        """MODEL.PRETRAIN_PATH backbone warm-start for SSL pretraining
+        (reference: visual_wrappers.py:137-139 loads a bare-backbone
+        state_dict at encoder build). The EMA encoder starts as a copy of
+        the warm-started model, like the reference's
+        _momentum_update(..., 0) right after build (:145-146)."""
+        path = str(self.cfg.MODEL.PRETRAIN_PATH)
+        if not self.cfg.MODEL.PRETRAINED or path in ("", "none", "/"):
+            return
+        if not os.path.exists(path):
+            raise RuntimeError(f"=> no pretrain backbone found at '{path}'")
+        from video_graph_ssl_tpu.utils.ckpt_convert import (
+            graft_like,
+            load_backbone_init,
+        )
+
+        bp, bs = load_backbone_init(path, str(self.cfg.MODEL.BACKBONE))
+
+        def with_backbone(tree, new):
+            # every encoder stack gets the warm start ('model' for
+            # moco/bank/simsiam; 'model_1'/'model_2' for CMC)
+            root = dict(tree)
+            for name, sub in root.items():
+                if isinstance(sub, dict) and "encoder" in sub:
+                    model = dict(sub)
+                    enc = dict(model["encoder"])
+                    enc["base_model"] = graft_like(
+                        enc["base_model"], new, f"{name}.encoder.base_model")
+                    model["encoder"] = enc
+                    root[name] = model
+            return root
+
+        self.state = self.state.replace(
+            params=with_backbone(self.state.params, bp),
+            batch_stats=(with_backbone(self.state.batch_stats, bs)
+                         if bs else self.state.batch_stats))
+        if self.state.ema_params is not None:
+            self.state = self.state.replace(
+                ema_params=with_backbone(self.state.ema_params, bp),
+                ema_batch_stats=(with_backbone(self.state.ema_batch_stats, bs)
+                                 if bs else self.state.ema_batch_stats))
+        print(f"=> initialized backbone from '{path}' "
+              f"(MODEL.PRETRAIN_PATH)")
 
     def _resume(self):
         path = self.cfg.CHECKPOINT.RESUME
