@@ -292,6 +292,103 @@ def test_load_backbone_init_torch_file(tmp_path):
         load_backbone_init(path, "tiny3d")
 
 
+def _resnet_sd(dims, layers, block, seed=51):
+    """Torch-named ResNet state_dict mirroring backbone_{2,3}d/resnet.py."""
+    g = np.random.default_rng(seed)
+    exp = 4 if block == "bottleneck" else 1
+    sd = {}
+
+    def conv(name, cout, cin, ks):
+        sd[name + ".weight"] = g.normal(0, 0.1, (cout, cin) + ks
+                                        ).astype(np.float32)
+
+    def bn(name, c):
+        sd[name + ".weight"] = g.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[name + ".bias"] = g.normal(0, 0.1, c).astype(np.float32)
+        sd[name + ".running_mean"] = g.normal(0, 0.1, c).astype(np.float32)
+        sd[name + ".running_var"] = g.uniform(0.5, 2.0, c).astype(np.float32)
+
+    conv("conv1", 64, 3, (7,) * dims)
+    bn("bn1", 64)
+    in_ch = 64
+    for s, (planes, n) in enumerate(zip((64, 128, 256, 512), layers), 1):
+        for b in range(n):
+            p = f"layer{s}.{b}"
+            if block == "basic":
+                conv(f"{p}.conv1", planes, in_ch, (3,) * dims)
+                bn(f"{p}.bn1", planes)
+                conv(f"{p}.conv2", planes, planes, (3,) * dims)
+                bn(f"{p}.bn2", planes)
+            else:
+                conv(f"{p}.conv1", planes, in_ch, (1,) * dims)
+                bn(f"{p}.bn1", planes)
+                conv(f"{p}.conv2", planes, planes, (3,) * dims)
+                bn(f"{p}.bn2", planes)
+                conv(f"{p}.conv3", planes * 4, planes, (1,) * dims)
+                bn(f"{p}.bn3", planes * 4)
+            stride = 2 if (b == 0 and s > 1) else 1
+            if stride != 1 or in_ch != planes * exp:
+                conv(f"{p}.downsample.0", planes * exp, in_ch, (1,) * dims)
+                bn(f"{p}.downsample.1", planes * exp)
+            in_ch = planes * exp
+    return sd
+
+
+@pytest.mark.parametrize("family", ["resnet3d_10", "resnet50"])
+def test_resnet_conversion_grafts_exactly(family):
+    """convert_torch_resnet fills our ResNet trees leaf-for-leaf (both
+    dims, both block types)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_graph_ssl_tpu.utils.ckpt_convert import graft_like
+    from video_graph_ssl_tpu.utils.torch_interop import convert_torch_resnet
+
+    if family == "resnet3d_10":
+        from video_graph_ssl_tpu.models.resnet3d import resnet3d_10 as ctor
+
+        dims, layers, block = 3, (1, 1, 1, 1), "basic"
+        x = np.zeros((1, 4, 16, 16, 3), np.float32)
+    else:
+        from video_graph_ssl_tpu.models.resnet2d import resnet50 as ctor
+
+        dims, layers, block = 2, (3, 4, 6, 3), "bottleneck"
+        x = np.zeros((1, 32, 32, 3), np.float32)
+
+    model = ctor(num_classes=None, dtype=jnp.float32)
+    variables = jax.jit(model.init)({"params": jax.random.key(0)}, x)
+
+    sd = _resnet_sd(dims, layers, block)
+    p, s = convert_torch_resnet(sd, dims=dims)
+    grafted_p = graft_like(dict(variables["params"]), p, "params")
+    graft_like(dict(variables["batch_stats"]), s, "batch_stats")
+    np.testing.assert_allclose(
+        grafted_p["layer2_0"]["ds_conv"]["kernel"],
+        np.transpose(sd["layer2.0.downsample.0.weight"],
+                     (2, 3, 1, 0) if dims == 2 else (2, 3, 4, 1, 0)))
+
+
+def test_resnet2d_conv_perm_matches_torch():
+    """The 2D (O,I,kh,kw) -> (kh,kw,I,O) permutation executes torch's conv."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    g = np.random.default_rng(6)
+    w = g.normal(0, 0.1, (5, 3, 3, 3)).astype(np.float32)   # O I kh kw
+    x = g.normal(0, 1.0, (2, 3, 8, 8)).astype(np.float32)   # N C H W
+    with torch.no_grad():
+        ref = torch.nn.functional.conv2d(
+            torch.from_numpy(x), torch.from_numpy(w), padding=1).numpy()
+    ours = jax.jit(lambda x, k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))(
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+            jnp.asarray(np.transpose(w, (2, 3, 1, 0))))
+    np.testing.assert_allclose(np.transpose(np.asarray(ours), (0, 3, 1, 2)),
+                               ref, rtol=1e-4, atol=1e-4)
+
+
 def test_convert_pretrain_sd_rejects_unknown_backbone():
     with pytest.raises(NotImplementedError):
         convert_pretrain_sd({"model.encoder.base_model.x": 0}, "tiny3d",

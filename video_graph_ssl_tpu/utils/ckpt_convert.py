@@ -31,8 +31,11 @@ from typing import Any, Dict, Tuple
 
 import numpy as np
 
+import functools
+
 from .torch_interop import (
     convert_torch_i3d,
+    convert_torch_resnet,
     convert_torch_s3d,
     convert_torch_s3dg,
     export_s3d_to_torch_names,
@@ -44,6 +47,14 @@ _BACKBONE_CONVERTERS = {
     "i3d": convert_torch_i3d,
     "inceptioni3d": convert_torch_i3d,
 }
+# ResNet families: one key-driven converter covers every depth
+# (backbone_2d/resnet.py torchvision naming, backbone_3d/resnet.py).
+for _d in (10, 18, 34, 50, 101, 152, 200):
+    _BACKBONE_CONVERTERS[f"resnet3d_{_d}"] = functools.partial(
+        convert_torch_resnet, dims=3)
+for _d in (18, 34, 50, 101, 152):
+    _BACKBONE_CONVERTERS[f"resnet{_d}"] = functools.partial(
+        convert_torch_resnet, dims=2)
 
 
 def _sub(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:

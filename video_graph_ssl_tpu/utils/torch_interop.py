@@ -491,6 +491,63 @@ def reference_i3d_shape_manifest(num_classes: Optional[int] = None,
     return manifest
 
 
+def convert_torch_resnet(
+    sd: Dict[str, np.ndarray],
+    dims: int,
+    with_classifier: bool = False,
+) -> Tuple[dict, dict]:
+    """Reference ResNet state_dict -> (params, batch_stats) for
+    models.resnet2d.ResNet2D (``dims=2``, torchvision naming —
+    backbone_2d/resnet.py:34-112) or models.resnet3d.ResNet3D (``dims=3``,
+    backbone_3d/resnet.py:41-108).
+
+    Depth/block-type is inferred from the keys (``layerS.B.convI``), so one
+    function covers resnet10..200, basic and bottleneck. Only shortcut
+    type B (conv ``downsample.0``/``downsample.1``) carries weights; the 3D
+    family's type-A (parameter-free pad) checkpoints convert with their
+    block convs only and will fail the template graft where our model has a
+    ``ds_conv`` — by design, since type A has no equivalent here."""
+    perm = (2, 3, 1, 0) if dims == 2 else (2, 3, 4, 1, 0)
+
+    def convw(name):
+        return {"kernel": np.transpose(np.asarray(sd[name + ".weight"]), perm)}
+
+    def bn(name):
+        p = {"bn": {"scale": np.asarray(sd[name + ".weight"]),
+                    "bias": np.asarray(sd[name + ".bias"])}}
+        s = {"bn": {"mean": np.asarray(sd[name + ".running_mean"]),
+                    "var": np.asarray(sd[name + ".running_var"])}}
+        return p, s
+
+    params: dict = {"conv1": convw("conv1")}
+    stats: dict = {}
+    params["bn1"], stats["bn1"] = bn("bn1")
+    for s in (1, 2, 3, 4):
+        b = 0
+        while f"layer{s}.{b}.conv1.weight" in sd:
+            prefix = f"layer{s}.{b}"
+            bp: dict = {}
+            bs: dict = {}
+            i = 1
+            while f"{prefix}.conv{i}.weight" in sd:
+                bp[f"conv{i}"] = convw(f"{prefix}.conv{i}")
+                bp[f"bn{i}"], bs[f"bn{i}"] = bn(f"{prefix}.bn{i}")
+                i += 1
+            if f"{prefix}.downsample.0.weight" in sd:
+                bp["ds_conv"] = convw(f"{prefix}.downsample.0")
+                bp["ds_bn"], bs["ds_bn"] = bn(f"{prefix}.downsample.1")
+            params[f"layer{s}_{b}"], stats[f"layer{s}_{b}"] = bp, bs
+            b += 1
+        if b == 0:
+            raise KeyError(f"no blocks found under 'layer{s}.' — "
+                           "not a ResNet state_dict?")
+    if with_classifier and "fc.weight" in sd:
+        params["fc"] = {"kernel": np.asarray(sd["fc.weight"]).T}
+        if "fc.bias" in sd:
+            params["fc"]["bias"] = np.asarray(sd["fc.bias"])
+    return params, stats
+
+
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     """Unpickle a .pth/.pth.tar checkpoint to a flat numpy state_dict
     (handles the reference's {'state_dict': ...} envelope,
