@@ -10,6 +10,10 @@ features in this framework, for every backbone with a reference loader:
   --backbone i3d   lib/modeling/backbone/backbone_3d/i3dpt.py
                    (TF-SAME padding; also exercises the TF-name loader
                    when --tf_npz is given, mirroring load_tf_weights)
+  --backbone resnet3d_{10..200} / resnet{18..152}
+                   lib/modeling/backbone/backbone_3d/resnet.py and
+                   backbone_2d/resnet.py (trunk features; the 2D path
+                   folds frames into the batch)
 
 Steps:
   1. load the torch state_dict (``--torch_ckpt``; or synthesize a random
@@ -44,6 +48,25 @@ def _load_ref_module(fname: str, modname: str):
     spec = importlib.util.spec_from_file_location(
         modname, os.path.join(REF_DIR, fname))
     mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_ref_pkg_module(directory: str, fname: str, pkgname: str):
+    """Load a reference module that uses relative imports (e.g.
+    backbone_2d/resnet.py's ``from .utils import ...``) by registering a
+    synthetic parent package pointing at the reference directory."""
+    import types
+
+    if pkgname not in sys.modules:
+        pkg = types.ModuleType(pkgname)
+        pkg.__path__ = [directory]
+        sys.modules[pkgname] = pkg
+    name = f"{pkgname}.{os.path.splitext(fname)[0]}"
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(directory, fname))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
     spec.loader.exec_module(mod)
     return mod
 
@@ -102,7 +125,7 @@ def run_s3d(sd, x, has_fc, n_cls):
 
     params, stats = convert_torch_s3d(sd, with_classifier=has_fc)
     model = S3D(num_classes=n_cls if has_fc else None, dtype=jnp.float32)
-    return model, params, stats, theirs, what
+    return model, params, stats, theirs, what, x
 
 
 def run_s3dg(sd, x, has_fc, n_cls):
@@ -132,7 +155,7 @@ def run_s3dg(sd, x, has_fc, n_cls):
 
     params, stats = convert_torch_s3dg(sd, with_classifier=False)
     model = S3D(num_classes=None, temporal_bias=True, dtype=jnp.float32)
-    return model, params, stats, theirs, what
+    return model, params, stats, theirs, what, x
 
 
 def run_i3d(sd, x, has_fc, n_cls):
@@ -172,10 +195,99 @@ def run_i3d(sd, x, has_fc, n_cls):
 
     params, stats = convert_torch_i3d(sd, with_classifier=False)
     model = I3D(num_classes=None, dtype=jnp.float32)
-    return model, params, stats, theirs, what
+    return model, params, stats, theirs, what, x
+
+
+def run_resnet3d(depth):
+    def run(sd, x, has_fc, n_cls):
+        import torch
+        from video_graph_ssl_tpu.utils.torch_interop import (
+            _RESNET_LAYERS,
+            convert_torch_resnet,
+        )
+
+        # the reference file uses the pre-1.0 ``nn.init.kaiming_normal``
+        # (resnet.py:145); alias it to the in-place variant (same values,
+        # and it returns the Parameter so the reference's re-assignment
+        # still type-checks)
+        if not hasattr(torch.nn.init, "kaiming_normal"):
+            torch.nn.init.kaiming_normal = torch.nn.init.kaiming_normal_
+        mod = _load_ref_module("resnet.py", "ref_resnet3d")
+        block_name, layers = _RESNET_LAYERS[depth]
+        block = mod.BasicBlock if block_name == "basic" else mod.Bottleneck
+        ref = mod.ResNet(block, list(layers), sample_size=x.shape[2],
+                         sample_duration=x.shape[1], shortcut_type="B",
+                         num_classes=n_cls)
+        missing, unexpected = ref.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+        unexpected = [k for k in unexpected
+                      if not k.endswith("num_batches_tracked")]
+        assert not unexpected, f"unconsumed checkpoint keys: {unexpected[:5]}"
+        ref.eval()
+        xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))  # NCDHW
+        with torch.no_grad():
+            out = ref.maxpool(ref.relu(ref.bn1(ref.conv1(xt))))
+            for l in (ref.layer1, ref.layer2, ref.layer3, ref.layer4):
+                out = l(out)
+            # global trunk pooling == our encoder's mean over (T', H', W')
+            theirs = out.numpy().mean(axis=(2, 3, 4))
+
+        import jax.numpy as jnp
+        from video_graph_ssl_tpu.models import resnet3d as ours_mod
+
+        params, stats = convert_torch_resnet(sd, dims=3)
+        model = getattr(ours_mod, f"resnet3d_{depth}")(
+            num_classes=None, dtype=jnp.float32)
+        return model, params, stats, theirs, "features", x
+
+    return run
+
+
+def run_resnet2d(depth):
+    def run(sd, x, has_fc, n_cls):
+        import torch
+        from video_graph_ssl_tpu.utils.torch_interop import (
+            _RESNET_LAYERS,
+            convert_torch_resnet,
+        )
+
+        mod = _load_ref_pkg_module(
+            os.path.join(os.path.dirname(REF_DIR), "backbone_2d"),
+            "resnet.py", "ref_backbone_2d")
+        block_name, layers = _RESNET_LAYERS[depth]
+        block = mod.BasicBlock if block_name == "basic" else mod.Bottleneck
+        ref = mod.ResNet(block, list(layers), num_classes=n_cls)
+        missing, unexpected = ref.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+        unexpected = [k for k in unexpected
+                      if not k.endswith("num_batches_tracked")]
+        assert not unexpected, f"unconsumed checkpoint keys: {unexpected[:5]}"
+        ref.eval()
+        # frames fold into the batch: the 2D path sees (B*T, H, W, C)
+        x2 = x.reshape((-1,) + x.shape[2:])
+        xt = torch.from_numpy(np.transpose(x2, (0, 3, 1, 2)))  # NCHW
+        with torch.no_grad():
+            out = ref.maxpool(ref.relu(ref.bn1(ref.conv1(xt))))
+            for l in (ref.layer1, ref.layer2, ref.layer3, ref.layer4):
+                out = l(out)
+            theirs = out.numpy().mean(axis=(2, 3))
+
+        import jax.numpy as jnp
+        from video_graph_ssl_tpu.models import resnet2d as ours_mod
+
+        params, stats = convert_torch_resnet(sd, dims=2)
+        model = getattr(ours_mod, f"resnet{depth}")(
+            num_classes=None, dtype=jnp.float32)
+        return model, params, stats, theirs, "features", x2
+
+    return run
 
 
 _BACKENDS = {"s3d": run_s3d, "s3dg": run_s3dg, "i3d": run_i3d}
+for _d in (10, 18, 34, 50, 101, 152, 200):
+    _BACKENDS[f"resnet3d_{_d}"] = run_resnet3d(_d)
+for _d in (18, 34, 50, 101, 152):
+    _BACKENDS[f"resnet{_d}"] = run_resnet2d(_d)
 
 
 def _manifest(backbone, num_classes):
@@ -184,6 +296,10 @@ def _manifest(backbone, num_classes):
         return ti.reference_s3d_shape_manifest(num_classes)
     if backbone == "s3dg":
         return ti.reference_s3dg_shape_manifest(None)
+    if backbone.startswith("resnet"):
+        depth = int(backbone.rsplit("_", 1)[-1].replace("resnet", ""))
+        return ti.reference_resnet_shape_manifest(
+            depth, dims=3 if "3d" in backbone else 2)
     return ti.reference_i3d_shape_manifest(None)
 
 
@@ -223,7 +339,8 @@ def main(argv=None):
         ap.error("pass --torch_ckpt PATH or --synthetic")
 
     fc_key = {"s3d": "fc.0.weight", "s3dg": "features.18.weight",
-              "i3d": "conv3d_0c_1x1.conv3d.weight"}[args.backbone]
+              "i3d": "conv3d_0c_1x1.conv3d.weight"}.get(
+                  args.backbone, "fc.weight")
     has_fc = fc_key in sd and args.backbone == "s3d"
     n_cls = sd[fc_key].shape[0] if fc_key in sd else args.num_classes
 
@@ -231,7 +348,7 @@ def main(argv=None):
     x = g.standard_normal(
         (args.batch, args.frames, args.size, args.size, 3)).astype(np.float32)
 
-    model, params, stats, theirs, what = _BACKENDS[args.backbone](
+    model, params, stats, theirs, what, x = _BACKENDS[args.backbone](
         sd, x, has_fc, n_cls)
 
     import jax

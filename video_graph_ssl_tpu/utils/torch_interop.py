@@ -548,6 +548,63 @@ def convert_torch_resnet(
     return params, stats
 
 
+_RESNET_LAYERS = {
+    10: ("basic", (1, 1, 1, 1)),
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+    200: ("bottleneck", (3, 24, 36, 3)),
+}
+
+
+def reference_resnet_shape_manifest(
+    depth: int, dims: int, num_classes: Optional[int] = None,
+) -> Dict[str, tuple]:
+    """Name -> shape manifest of a reference ResNet state_dict
+    (backbone_2d/resnet.py torchvision naming / backbone_3d/resnet.py,
+    shortcut type B)."""
+    block, layers = _RESNET_LAYERS[depth]
+    exp = 4 if block == "bottleneck" else 1
+    manifest: Dict[str, tuple] = {}
+
+    def conv(name, cout, cin, k):
+        manifest[name + ".weight"] = (cout, cin) + (k,) * dims
+
+    def bn(name, c):
+        for suffix in ("weight", "bias", "running_mean", "running_var"):
+            manifest[f"{name}.{suffix}"] = (c,)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    in_ch = 64
+    for s, (planes, n) in enumerate(zip((64, 128, 256, 512), layers), 1):
+        for b in range(n):
+            p = f"layer{s}.{b}"
+            if block == "basic":
+                conv(f"{p}.conv1", planes, in_ch, 3)
+                bn(f"{p}.bn1", planes)
+                conv(f"{p}.conv2", planes, planes, 3)
+                bn(f"{p}.bn2", planes)
+            else:
+                conv(f"{p}.conv1", planes, in_ch, 1)
+                bn(f"{p}.bn1", planes)
+                conv(f"{p}.conv2", planes, planes, 3)
+                bn(f"{p}.bn2", planes)
+                conv(f"{p}.conv3", planes * 4, planes, 1)
+                bn(f"{p}.bn3", planes * 4)
+            stride = 2 if (b == 0 and s > 1) else 1
+            if stride != 1 or in_ch != planes * exp:
+                conv(f"{p}.downsample.0", planes * exp, in_ch, 1)
+                bn(f"{p}.downsample.1", planes * exp)
+            in_ch = planes * exp
+    if num_classes:
+        manifest["fc.weight"] = (num_classes, 512 * exp)
+        manifest["fc.bias"] = (num_classes,)
+    return manifest
+
+
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     """Unpickle a .pth/.pth.tar checkpoint to a flat numpy state_dict
     (handles the reference's {'state_dict': ...} envelope,
