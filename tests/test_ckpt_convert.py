@@ -268,6 +268,54 @@ def test_downstream_graft_and_inverse():
         np.testing.assert_allclose(out_sd[kname], sd[kname], err_msg=kname)
 
 
+def test_simsiam_graft_and_inverse():
+    """Full SimSiam GraphWrapper conversion: graft into a real template and
+    invert back to reference names exactly."""
+    from flax import serialization
+
+    from video_graph_ssl_tpu.engine import create_pretrain_state
+    from video_graph_ssl_tpu.models import create_visual_model
+
+    c = _cfg("simsiam")
+    model, _ = create_visual_model(c)
+    state, _tx = create_pretrain_state(
+        c, model, np.zeros((2, 2) + EXAMPLE[1:], np.float32), n_data=4)
+    assert state.contrast is None and state.ema_params is None
+
+    sd = {}
+    for k, v in _rand_sd(reference_s3d_shape_manifest(), 61).items():
+        sd[f"model.encoder.base_model.{k}"] = v
+    g = np.random.default_rng(62)
+
+    def lin_bn(prefix, din, dout):
+        sd[f"{prefix}.0.weight"] = g.normal(0, 0.1, (dout, din)).astype(np.float32)
+        sd[f"{prefix}.0.bias"] = g.normal(0, 0.1, dout).astype(np.float32)
+        sd[f"{prefix}.1.weight"] = g.uniform(0.5, 1.5, dout).astype(np.float32)
+        sd[f"{prefix}.1.bias"] = g.normal(0, 0.1, dout).astype(np.float32)
+        sd[f"{prefix}.1.running_mean"] = g.normal(0, 0.1, dout).astype(np.float32)
+        sd[f"{prefix}.1.running_var"] = g.uniform(0.5, 2.0, dout).astype(np.float32)
+
+    # reference SimSiam dims (graph_wrappers.py:30-44): projection
+    # 1024->hid(->hid->hid), prediction hid->hid//2->hid
+    hid = FEAT_DIM
+    lin_bn("model.projection.l1", 1024, hid)
+    lin_bn("model.projection.l2", hid, hid)
+    lin_bn("model.projection.l3", hid, hid)
+    lin_bn("model.prediction.l1", hid, hid // 2)
+    sd["model.prediction.l2.weight"] = g.normal(
+        0, 0.1, (hid, hid // 2)).astype(np.float32)
+    sd["model.prediction.l2.bias"] = g.normal(0, 0.1, hid).astype(np.float32)
+
+    state, _notes = graft_pretrain_state(state, {"state_dict": sd}, c)
+    out_sd = export_pretrain_to_torch(
+        serialization.to_state_dict(state.params),
+        serialization.to_state_dict(state.batch_stats), "simsiam")
+    assert set(out_sd) == set(sd)
+    for kname in sd:
+        np.testing.assert_allclose(out_sd[kname], sd[kname], rtol=0, atol=0,
+                                   err_msg=kname)
+
+
 def test_load_backbone_init_torch_file(tmp_path):
     """Bare-backbone .pth warm-start (reference visual_wrappers.py:137-139)."""
     torch = pytest.importorskip("torch")
@@ -292,73 +340,35 @@ def test_load_backbone_init_torch_file(tmp_path):
         load_backbone_init(path, "tiny3d")
 
 
-def _resnet_sd(dims, layers, block, seed=51):
-    """Torch-named ResNet state_dict mirroring backbone_{2,3}d/resnet.py."""
-    g = np.random.default_rng(seed)
-    exp = 4 if block == "bottleneck" else 1
-    sd = {}
-
-    def conv(name, cout, cin, ks):
-        sd[name + ".weight"] = g.normal(0, 0.1, (cout, cin) + ks
-                                        ).astype(np.float32)
-
-    def bn(name, c):
-        sd[name + ".weight"] = g.uniform(0.5, 1.5, c).astype(np.float32)
-        sd[name + ".bias"] = g.normal(0, 0.1, c).astype(np.float32)
-        sd[name + ".running_mean"] = g.normal(0, 0.1, c).astype(np.float32)
-        sd[name + ".running_var"] = g.uniform(0.5, 2.0, c).astype(np.float32)
-
-    conv("conv1", 64, 3, (7,) * dims)
-    bn("bn1", 64)
-    in_ch = 64
-    for s, (planes, n) in enumerate(zip((64, 128, 256, 512), layers), 1):
-        for b in range(n):
-            p = f"layer{s}.{b}"
-            if block == "basic":
-                conv(f"{p}.conv1", planes, in_ch, (3,) * dims)
-                bn(f"{p}.bn1", planes)
-                conv(f"{p}.conv2", planes, planes, (3,) * dims)
-                bn(f"{p}.bn2", planes)
-            else:
-                conv(f"{p}.conv1", planes, in_ch, (1,) * dims)
-                bn(f"{p}.bn1", planes)
-                conv(f"{p}.conv2", planes, planes, (3,) * dims)
-                bn(f"{p}.bn2", planes)
-                conv(f"{p}.conv3", planes * 4, planes, (1,) * dims)
-                bn(f"{p}.bn3", planes * 4)
-            stride = 2 if (b == 0 and s > 1) else 1
-            if stride != 1 or in_ch != planes * exp:
-                conv(f"{p}.downsample.0", planes * exp, in_ch, (1,) * dims)
-                bn(f"{p}.downsample.1", planes * exp)
-            in_ch = planes * exp
-    return sd
-
-
 @pytest.mark.parametrize("family", ["resnet3d_10", "resnet50"])
 def test_resnet_conversion_grafts_exactly(family):
     """convert_torch_resnet fills our ResNet trees leaf-for-leaf (both
-    dims, both block types)."""
+    dims, both block types; state_dict synthesized from the audited
+    manifest)."""
     import jax
     import jax.numpy as jnp
 
     from video_graph_ssl_tpu.utils.ckpt_convert import graft_like
-    from video_graph_ssl_tpu.utils.torch_interop import convert_torch_resnet
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_torch_resnet,
+        reference_resnet_shape_manifest,
+    )
 
     if family == "resnet3d_10":
         from video_graph_ssl_tpu.models.resnet3d import resnet3d_10 as ctor
 
-        dims, layers, block = 3, (1, 1, 1, 1), "basic"
+        dims, depth = 3, 10
         x = np.zeros((1, 4, 16, 16, 3), np.float32)
     else:
         from video_graph_ssl_tpu.models.resnet2d import resnet50 as ctor
 
-        dims, layers, block = 2, (3, 4, 6, 3), "bottleneck"
+        dims, depth = 2, 50
         x = np.zeros((1, 32, 32, 3), np.float32)
 
     model = ctor(num_classes=None, dtype=jnp.float32)
     variables = jax.jit(model.init)({"params": jax.random.key(0)}, x)
 
-    sd = _resnet_sd(dims, layers, block)
+    sd = _rand_sd(reference_resnet_shape_manifest(depth, dims), 51)
     p, s = convert_torch_resnet(sd, dims=dims)
     grafted_p = graft_like(dict(variables["params"]), p, "params")
     graft_like(dict(variables["batch_stats"]), s, "batch_stats")
