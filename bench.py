@@ -35,7 +35,30 @@ import numpy as np
 A100_REF_CLIPS_PER_SEC = 250.0
 
 
+def _arm_watchdog():
+    """Fail fast instead of hanging forever when the axon relay is wedged
+    (jax initialization then blocks indefinitely, even `import jax`).
+    VGS_BENCH_TIMEOUT seconds; the default stays ABOVE perf/chip_queue.sh's
+    `timeout 1200` so under the queue the outer timeout (rc 124) fires
+    first and keeps its stop-on-timeout relay protection."""
+    import threading
+
+    timeout = float(os.environ.get("VGS_BENCH_TIMEOUT", "1500"))
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout):
+            print(f"bench watchdog: no result after {timeout:.0f}s "
+                  "(TPU relay unreachable?) — aborting", file=sys.stderr,
+                  flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
+    _watchdog_done = _arm_watchdog()
     import jax
 
     from video_graph_ssl_tpu.config import cfg as CFG
@@ -116,6 +139,7 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     clips_per_sec = batch_size * iters / best
+    _watchdog_done.set()
     print(json.dumps({
         "metric": "pretrain_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
