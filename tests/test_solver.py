@@ -75,11 +75,14 @@ def _params():
 
 
 def test_label_params():
+    # exact reference non-trick grouping (lib/solver/build.py:36-47): BN
+    # scale is a torch ".weight" -> decayed; every ".bias" (incl. BN's)
+    # gets the bias treatment
     labels = label_params(_params())
     assert labels["conv"]["kernel"] == "weight"
     assert labels["conv"]["bias"] == "bias"
-    assert labels["bn"]["scale"] == "bn"
-    assert labels["bn"]["bias"] == "bn"
+    assert labels["bn"]["scale"] == "weight"
+    assert labels["bn"]["bias"] == "bias"
 
 
 def test_bias_lr_factor_and_wd():
@@ -111,11 +114,15 @@ def test_weight_decay_only_on_weights():
     opt_state = set_learning_rate(tx.init(params), 0.1)
     grads = jax.tree_util.tree_map(jnp.zeros_like, params)
     updates, _ = tx.update(grads, opt_state, params)
-    # weights decay toward 0 even with zero grad; bn/bias do not
+    # every torch-".weight" (incl. BN scale) decays toward 0 even with
+    # zero grad; biases (WEIGHT_DECAY_BIAS=0) do not — reference
+    # lib/solver/build.py:36-47
     np.testing.assert_allclose(np.asarray(updates["conv"]["kernel"]),
                                -0.1 * 0.5, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(updates["bn"]["scale"]), 0.0)
+    np.testing.assert_allclose(np.asarray(updates["bn"]["scale"]),
+                               -0.1 * 0.5, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(updates["conv"]["bias"]), 0.0)
+    np.testing.assert_allclose(np.asarray(updates["bn"]["bias"]), 0.0)
 
 
 def test_linear_probe_mask_freezes_everything_but_new_fc():

@@ -33,22 +33,22 @@ def _path_str(path) -> str:
 
 
 def label_params(params) -> Any:
-    """Label every leaf as 'bias' | 'bn' | 'weight' by its tree path.
-
-    BatchNorm scale/bias are labeled 'bn' (the reference's TSN policies give
-    BN params decay_mult=0, visual_wrappers.py:205-206); Dense/Conv biases
-    are 'bias'; everything else 'weight'.
-    """
+    """Label every leaf as 'bias' | 'weight' by its tree path — EXACTLY the
+    reference's non-trick grouping (lib/solver/build.py:36-47: any param
+    whose torch name contains "bias" gets BIAS_LR_FACTOR + WEIGHT_DECAY_BIAS;
+    everything else — including BatchNorm scales, torch-named ".weight" —
+    gets the full WEIGHT_DECAY). All shipped configs run USE_TRICK=False, so
+    this is the grouping the reference actually trains with; the
+    BN-decay_mult=0 policy exists only on the USE_TRICK path
+    (get_optim_policies, visual_wrappers.py:205-206 — see
+    label_params_trick)."""
     def classify(path, leaf):
         comps = [str(getattr(p, "key", getattr(p, "idx", p))).lower()
                  for p in path]
-        if any(c == "bn" or c.startswith("bn_") or "batchnorm" in c
-               or (c.startswith("bn") and c[2:].isdigit()) for c in comps):
-            return "bn"
+        # flax BatchNorm 'scale' <-> torch BN '.weight'; flax 'bias' <->
+        # torch '.bias' for Conv/Dense/BN alike
         if comps and comps[-1] == "bias":
             return "bias"
-        if comps and comps[-1] == "scale":  # norm scales, treat as bn-like
-            return "bn"
         return "weight"
 
     return jax.tree_util.tree_map_with_path(classify, params)
