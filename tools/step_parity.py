@@ -29,16 +29,25 @@ intended fix: that loop never calls optimizer.zero_grad() (its moco/bank
 twins do, :317/:408 — a latent reference bug that silently accumulates
 gradients across steps); both sides here use fresh per-step gradients.
 
-Recorded result (08-18, fp32 CPU, 3 steps, batch 8, S3D 16x32x32):
-ours-vs-reference update deviation 0.125 vs 0.471 for the reference
-against ITSELF under a 1e-4 input perturbation — the micro-geometry's
-chaos floor (batch-8 BN statistics + ReLU boundary flips) is ~4x larger
-than our deviation, i.e. the training recipes are indistinguishable at
-this scale and any recipe bug (wrong decay mask, momentum, lr grouping,
-loss sign: all O(1) signals) is excluded.
+Recorded results (08-18, fp32 CPU, 3 steps, batch 8, S3D 16x32x32),
+ours-vs-reference update deviation vs the reference against ITSELF under
+a 1e-4 input perturbation (the chaos control — micro-geometry BN
+statistics + ReLU boundary flips):
 
-Run (CPU, ~4-6 min):
+    simsiam  0.125 vs control 0.471
+    moco     0.133 vs control 0.355   (EMA encoder fwd w/ train-mode BN,
+                                       queue logits, InfoNCE, enqueue,
+                                       post-step EMA momentum — all via
+                                       the production engine step)
+
+The chaos floor is ~3-4x larger than our deviation in both regimes: the
+training recipes are indistinguishable at this scale, and any recipe bug
+(wrong decay mask, momentum, lr grouping, loss sign, EMA/queue order:
+all O(1) signals) is excluded.
+
+Run (CPU, ~4-8 min each):
     PYTHONPATH= JAX_PLATFORMS=cpu python tools/step_parity.py --steps 3
+    PYTHONPATH= JAX_PLATFORMS=cpu python tools/step_parity.py --regime moco --steps 3
 """
 
 from __future__ import annotations
@@ -66,7 +75,11 @@ def build_cfg(args):
     c.MODEL.PRETRAINED = False
     c.INPUT.MODALITY = "RGB"
     c.INPUT.VIDEO_LENGTH = args.frames
-    c.CONTRAST.MEM_TYPE = "simsiam"
+    c.CONTRAST.MEM_TYPE = args.regime
+    c.CONTRAST.NCE_K = 64
+    c.CONTRAST.NCE_T = 0.07
+    c.CONTRAST.ALPHA = 0.999
+    c.CROSS.CRITERION = "crossentropy"
     c.CROSS.FEAT_DIM = args.hid_dim
     c.SOLVER.NO_PARTIALBN = True   # partial-BN off on both sides
     c.SOLVER.USE_TRICK = False     # the shipped configs' path
@@ -105,6 +118,33 @@ def run_reference(cfg, batches, steps, perturb=0.0, seed=0):
     sd0 = {k: v.detach().clone().numpy()
            for k, v in model.state_dict().items()}
 
+    mem_type = str(cfg.CONTRAST.MEM_TYPE)
+    payload0 = {"state_dict": sd0}
+    contrast = None
+    if mem_type == "moco":
+        # reference memory/criterion hardcode .cuda(); no-op shim for the
+        # CPU ground-truth run (mem_moco.py:78, criterion.py:43)
+        torch.Tensor.cuda = lambda self, *a, **kw: self
+        from lib.memory.build import create_contrast, create_criterion
+
+        contrast = create_contrast(cfg, n_data=1)
+        criterion = create_criterion(cfg, n_data=1)
+        # EMA starts as an exact copy (_momentum_update(..., 0), :145-146);
+        # eval + BN kept in train mode (set_bn_train, :381-389)
+        with torch.no_grad():
+            for p1, p2 in zip(model.parameters(), _ema.parameters()):
+                p2.copy_(p1)
+        _ema.eval()
+        for m in _ema.modules():
+            if "BatchNorm" in m.__class__.__name__:
+                m.train()
+        payload0["model_ema"] = {
+            k: v.detach().clone().numpy()
+            for k, v in _ema.state_dict().items()}
+        payload0["contrast"] = {
+            k: v.detach().clone().numpy()
+            for k, v in contrast.state_dict().items()}
+
     gp = np.random.default_rng(1234)
     losses = []
     for i in range(steps):
@@ -114,64 +154,74 @@ def run_reference(cfg, batches, steps, perturb=0.0, seed=0):
                        ).astype(np.float32)
             x2 = x2 * (1 + perturb * gp.normal(size=x2.shape)
                        ).astype(np.float32)
-        # _train_simsiam feeds the channel-concat pair (SimSiam.forward
-        # chunks dim=1, graph_wrappers.py:57)
-        xt = torch.from_numpy(np.concatenate(
-            [np.transpose(x1, (0, 4, 1, 2, 3)),
-             np.transpose(x2, (0, 4, 1, 2, 3))], axis=1))
-        opt.zero_grad()  # intended semantics (see module docstring)
-        loss = model(xt)
+        xt1 = torch.from_numpy(np.transpose(x1, (0, 4, 1, 2, 3)))
+        xt2 = torch.from_numpy(np.transpose(x2, (0, 4, 1, 2, 3)))
+        if mem_type == "moco":
+            # _train_moco order (:396-441); single process, so ShuffleBN is
+            # the identity wrapper around the EMA forward (:189-230) and
+            # the all_k gather is feat_k itself
+            with torch.no_grad():
+                feat_k = _ema(xt2)
+            opt.zero_grad()
+            feat_q = model(xt1)
+            out, _labels = contrast(feat_q, feat_k, all_k=feat_k)
+            loss = criterion(out)
+        else:
+            # _train_simsiam feeds the channel-concat pair (SimSiam.forward
+            # chunks dim=1, graph_wrappers.py:57)
+            opt.zero_grad()  # intended semantics (see module docstring)
+            loss = model(torch.cat([xt1, xt2], dim=1))
         loss.backward()
         opt.step()
+        if mem_type == "moco":
+            # update momentum encoder post-step (:437-441)
+            with torch.no_grad():
+                a = float(cfg.CONTRAST.ALPHA)
+                for p1, p2 in zip(model.parameters(), _ema.parameters()):
+                    p2.mul_(a).add_(p1, alpha=1.0 - a)
         losses.append(float(loss.detach()))
     sd_after = {k: v.detach().clone().numpy()
                 for k, v in model.state_dict().items()}
-    return np.asarray(losses), sd0, sd_after
+    return np.asarray(losses), payload0, sd_after
 
 
-def run_ours(cfg, sd0, batches, steps):
-    """Same N steps in this framework, starting from the torch model's
-    exact initial weights (ckpt_convert graft)."""
+def run_ours(cfg, payload0, batches, steps):
+    """Same N steps through the PRODUCTION engine step
+    (engine.make_pretrain_step — the exact function the trainer jits,
+    minus the on-device augmentation seam), starting from the torch
+    model's exact initial weights/EMA/queue (ckpt_convert graft)."""
     import jax
     import jax.numpy as jnp
 
-    from video_graph_ssl_tpu.engine import create_pretrain_state
+    from video_graph_ssl_tpu.engine import (
+        create_pretrain_state,
+        make_pretrain_step,
+    )
     from video_graph_ssl_tpu.models import create_visual_model
-    from video_graph_ssl_tpu.solver.build import set_learning_rate
     from video_graph_ssl_tpu.utils.ckpt_convert import graft_pretrain_state
 
     model, _ = create_visual_model(cfg)
     b, t = batches[0][0].shape[0], batches[0][0].shape[1]
     hw = batches[0][0].shape[2:4]
-    example = np.zeros((b, 2, t, *hw, 3), np.float32)
+    # simsiam models take the views axis; moco/bank encoders take one view
+    # (engine/build.py: create_pretrain_state docstring)
+    example = np.zeros(
+        (b, 2, t, *hw, 3) if cfg.CONTRAST.MEM_TYPE == "simsiam"
+        else (b, t, *hw, 3), np.float32)
     state, tx = create_pretrain_state(cfg, model, example, n_data=1)
-    state, _notes = graft_pretrain_state(state, {"state_dict": sd0}, cfg)
+    state, _notes = graft_pretrain_state(state, payload0, cfg)
 
-    @jax.jit
-    def step(state, x):
-        def loss_fn(params):
-            loss, new_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, mutable=["batch_stats"])
-            return jnp.mean(loss), new_state["batch_stats"]
-
-        (loss, new_bs), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates)
-        return state.replace(params=new_params, batch_stats=new_bs,
-                             opt_state=new_opt), loss
-
-    state = state.replace(opt_state=set_learning_rate(
-        state.opt_state, float(cfg.SOLVER.BASE_LR)))
+    step = jax.jit(make_pretrain_step(cfg, model, tx, n_data=1))
+    lr = float(cfg.SOLVER.BASE_LR)
 
     losses = []
     for i in range(steps):
         x1, x2 = batches[i]
-        x = jnp.asarray(np.stack([x1, x2], axis=1))   # (B, 2, T, H, W, C)
-        state, loss = step(state, x)
-        losses.append(float(loss))
+        batch = {"clips": jnp.asarray(np.stack([x1, x2], axis=1)),
+                 "label": jnp.zeros(b, jnp.int32),
+                 "index": jnp.zeros(b, jnp.int32)}
+        state, metrics = step(state, batch, lr)
+        losses.append(float(metrics["loss"]))
 
     from flax import serialization
 
@@ -179,12 +229,15 @@ def run_ours(cfg, sd0, batches, steps):
 
     sd_after = export_pretrain_to_torch(
         serialization.to_state_dict(state.params),
-        serialization.to_state_dict(state.batch_stats), "simsiam")
+        serialization.to_state_dict(state.batch_stats),
+        str(cfg.CONTRAST.MEM_TYPE))
     return np.asarray(losses), sd_after
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--regime", choices=["simsiam", "moco"],
+                    default="simsiam")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=16)
@@ -214,10 +267,11 @@ def main(argv=None):
         for _ in range(args.steps)
     ]
 
-    ref_losses, sd0, ref_after = run_reference(cfg, batches, args.steps)
-    ctl_losses, _sd0c, ctl_after = run_reference(
+    ref_losses, payload0, ref_after = run_reference(cfg, batches, args.steps)
+    ctl_losses, _p0c, ctl_after = run_reference(
         cfg, batches, args.steps, perturb=args.control_eps)
-    our_losses, our_after = run_ours(cfg, sd0, batches, args.steps)
+    our_losses, our_after = run_ours(cfg, payload0, batches, args.steps)
+    sd0 = payload0["state_dict"]
 
     print(f"\n{'step':<6}{'reference':>12}{'ours':>12}{'|diff|':>12}"
           f"{'ctl |diff|':>12}")
