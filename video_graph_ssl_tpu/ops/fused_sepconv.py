@@ -22,12 +22,13 @@ Forward math is bit-identical to the ConvBN composition (flax BatchNorm
 fast-variance stats, same cast points); tests/test_fused_sepconv.py pins
 forward and all seven gradients against jax.grad of the module pair.
 
-Backward runs as Pallas TPU kernels when the backend is a single TPU
-device: resident per-batch-element kernels (ops/pallas/sepconv_bwd.py)
-where one element fits VMEM, manual-DMA H-slab grid kernels
-(ops/pallas/sepconv_bwd_grid.py) for the large early stages (the stem
-SepConv and mixed_3c branch1).  Otherwise the identical math runs as the
-pure-XLA `_bwd_reference` (also the CPU test oracle).
+Backward runs as Pallas TPU kernels only under the explicit
+``VGS_SEPCONV_PALLAS=1`` opt-in (see ``_pallas_mode`` for the measured
+Mosaic rejection that forced this): resident per-batch-element kernels
+(ops/pallas/sepconv_bwd.py) where one element fits VMEM, manual-DMA
+H-slab grid kernels (ops/pallas/sepconv_bwd_grid.py) for the large early
+stages.  Otherwise the identical math runs as the pure-XLA
+`_bwd_reference` (also the CPU test oracle).
 """
 
 from __future__ import annotations
@@ -200,11 +201,28 @@ def _pallas_mode(x, f_out) -> str | None:
     Multi-device meshes keep the XLA sweeps (same math): pallas_call has
     no GSPMD partitioning rule here, and the global-batch BN sums must
     span the data axis anyway.  ``VGS_SEPCONV_XLA=1`` forces the XLA
-    sweeps on TPU too — measures the recompute restructure on its own
-    (and is the escape hatch if Mosaic rejects the kernels)."""
+    sweeps on TPU too — measures the recompute restructure on its own.
+
+    MEASURED LIMITATION (08-18, v5e): Mosaic REJECTS these kernels at
+    every production S3D shape — the (t, h_t, w, c) -> (rows, c)
+    collapse reshapes behind the tap matmuls need a relayout Mosaic
+    cannot infer when w (3/7/14 at bench geometry) is not a multiple of
+    the sublane tile ("infer-vector-layout: unsupported shape cast",
+    e.g. vector<2x3x3x48xbf16> -> vector<18x48xbf16>; ledger
+    perf/CHIP_QUEUE_r03b.jsonl, trials sepconv_fused/nogrid/pack).
+    The kernels therefore require the explicit ``VGS_SEPCONV_PALLAS=1``
+    opt-in (interpret-mode tests keep pinning their math); the default
+    TPU path for SEPCONV_FUSED is the identical-math XLA sweeps — which
+    themselves measured 7.5% SLOWER than the standard autodiff backward
+    (1228.7 vs 1328.2 clips/s, same ledger), consistent with
+    perf/bwd_floor.py's verdict that the backward gap is distributed
+    overhead rather than activation re-reads.  SEPCONV_FUSED stays
+    default-off; this module is the measured witness."""
     import os
 
     if os.environ.get("VGS_SEPCONV_XLA", "0") == "1":
+        return None
+    if os.environ.get("VGS_SEPCONV_PALLAS", "0") != "1":
         return None
     if jax.default_backend() != "tpu" or jax.device_count() != 1:
         return None

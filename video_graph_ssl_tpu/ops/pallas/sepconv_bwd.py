@@ -26,6 +26,19 @@ Cast points mirror ops/fused_sepconv.py's `_bwd_reference` exactly, so
 interpret-mode equality against it is exact in fp32
 (tests/test_fused_sepconv.py, including a forced-tiling case).
 
+STATUS (08-18, v5e chip): Mosaic rejects these kernels at every
+production S3D shape — the (t, h_t, w, c) -> (t*h_t*w, c) collapse
+reshapes behind each tap matmul require a sublane relayout Mosaic's
+infer-vector-layout cannot express when w is not a multiple of the
+native sublane tile (w is 3/7/14 at bench geometry; error:
+"unsupported shape cast", vector<2x3x3x48xbf16> -> vector<18x48xbf16>).
+A fix would pad W to the sublane tile and mask every reduction (BN sums,
+dW taps), a substantial rewrite; it is NOT worth building unless the
+premise recovers: the identical-math XLA sweeps already measured 7.5%
+slower than the standard backward (perf/CHIP_QUEUE_r03b.jsonl), so the
+kernels are kept as the interpret-verified expression of the 3-sweep
+math, gated behind VGS_SEPCONV_PALLAS=1 (see fused_sepconv._pallas_mode).
+
 Why three sweeps: BN train backward needs batch-mean terms of the
 incoming cotangent before any per-element gradient exists — a single
 fused pass over the data cannot produce dx.  This design trades ~2.25x
