@@ -91,7 +91,8 @@ REGIMES = {
     "moco+fusedsep": ["TPU.SEPCONV_FUSED", "True"],  # Pallas 3-sweep bwd
     "simsiam": ["CONTRAST.MEM_TYPE", "simsiam"],
     "bank": ["CONTRAST.MEM_TYPE", "bank"],
-    # GRAPH.USE_PALLAS defaults True — pin both values explicitly
+    # pin both GRAPH.USE_PALLAS values explicitly (default flipped to
+    # False 08-18 after two full-step sweeps showed XLA a hair ahead)
     "moco+graph": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "False"],
     "moco+graph-pal": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "True"],
 }

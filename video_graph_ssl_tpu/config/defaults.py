@@ -171,11 +171,14 @@ _C.GRAPH.NEI_SIZE = 0                    # <=0: full sequence (no masking)
 # Fused Pallas adjacency kernel (ops/pallas/graph_kernel.py). Measured on
 # v5e (bs=128, S3D aug points): beats the XLA path at every aug shape in
 # isolation (e.g. idx5 fwd 4.29 vs 4.85 ms, f+b 4.35 vs 4.88 ms,
-# perf/graph_lab.py), compiles in 2-15 s, and is within measurement noise
-# of the XLA path inside the full fused MoCo+graph step (112.2 vs
-# 111.3 ms, perf/regime_bench.py). Auto-falls back to XLA on non-TPU
-# platforms and non-relaxed_bernoulli samplers.
-_C.GRAPH.USE_PALLAS = True
+# perf/graph_lab.py) but is within measurement noise of — and in two
+# independent full-step sweeps slightly behind — the XLA path inside the
+# fused MoCo+graph step (r2: 112.2 vs 111.3 ms; 08-18: 104.0 vs 103.8 ms,
+# perf/regime_bench.py). Default OFF: the isolation win does not justify
+# the extra compile time and custom-VJP surface in the full graph, where
+# XLA fuses the adjacency chain into neighbors anyway. Auto-falls back to
+# XLA on non-TPU platforms and non-relaxed_bernoulli samplers.
+_C.GRAPH.USE_PALLAS = False
 
 # ---------------------------------------------------------------------------- #
 # TPU-native runtime knobs (no reference counterpart)
