@@ -8,6 +8,13 @@ parse or crashes the run is reported and skipped. One trial ~3-5 min on
 a healthy relay (compile dominates).
 
 Run: timeout 3600 python perf/xla_flag_sweep.py [--trials baseline vmem ...]
+
+MEASURED OUTCOME (08-18, axon relay): every TPU-specific flag ABORTS in
+the local client (`parse_flags_from_env.cc: Unknown flag in XLA_FLAGS`)
+— the relay client links only the CPU XLA flag registry, and compilation
+happens server-side where local XLA_FLAGS don't reach anyway.  Flag
+tuning is unreachable through this dev relay; re-run the sweep on a
+directly-attached TPU host where libtpu parses the flags.
 """
 
 from __future__ import annotations

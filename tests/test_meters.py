@@ -73,3 +73,24 @@ def test_average_meter_matches_reference_arithmetic():
     assert m.sum == 2.0 + 12.0 + 2.0
     assert m.count == 6
     assert m.avg == pytest.approx(16.0 / 6)
+
+
+def test_engine_topk_matches_argsort_semantics():
+    """engine.pretrain.topk_accuracy (rank-counting, sort-free) must equal
+    the stable argsort formulation it replaced — including exact-tie
+    placement (stable sort of -logits orders equal values by index)."""
+    from video_graph_ssl_tpu.engine.pretrain import topk_accuracy
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((16, 37)).astype(np.float32)
+    # force ties: duplicate the positive value at earlier + later columns
+    logits[3, 10] = logits[3, 20]
+    logits[5, 0] = logits[5, 30]
+    labels = rng.integers(0, 37, 16).astype(np.int32)
+    labels[3], labels[5] = 20, 0
+
+    ranks = np.argsort(-logits, axis=-1, kind="stable")
+    for k in (1, 5):
+        ref = np.mean(np.any(ranks[:, :k] == labels[:, None], -1)) * 100.0
+        got = float(topk_accuracy(logits, labels, ks=(k,))[f"top{k}"])
+        np.testing.assert_allclose(got, ref, rtol=1e-6)

@@ -154,7 +154,10 @@ def test_i3d_block_packed_matches_unpacked():
                                    rtol=1e-6, atol=1e-6, err_msg=str(p))
 
 
-def test_config_gate_rejects_non_inception():
+def test_config_gate_ignores_non_inception():
+    """PACK_POINTWISE defaults ON (chip-measured +1.2-1.3%); for
+    backbones without sibling 1x1x1 branches to pack it must be a
+    silent structural no-op, not an error (models/build.py gate)."""
     from video_graph_ssl_tpu.config import cfg as CFG
     from video_graph_ssl_tpu.models.build import encoder_cfg_from
 
@@ -162,5 +165,8 @@ def test_config_gate_rejects_non_inception():
     cfg.MODEL.BACKBONE_TYPE = "3D"
     cfg.MODEL.BACKBONE = "resnet3d_18"
     cfg.TPU.PACK_POINTWISE = True
-    with pytest.raises(ValueError, match="PACK_POINTWISE"):
-        encoder_cfg_from(cfg, aug_flag=False)
+    kwargs, feat_dim = encoder_cfg_from(cfg, aug_flag=False)
+    ctor = kwargs["backbone_ctor"]
+    kw = getattr(ctor, "keywords", {}) or {}
+    assert "pack_pointwise" not in kw
+    assert feat_dim == 512

@@ -198,10 +198,12 @@ _C.TPU.REMAT_POLICY = "block"            # block: recompute whole stages;
                                          # ~half the stored activations)
 _C.TPU.STEM_S2D = "off"                  # S3D/S3DG space-to-depth stem:
                                          # off | full | spatial (exact rewrite)
-_C.TPU.PACK_POINTWISE = False            # S3D/S3DG: fuse each inception
+_C.TPU.PACK_POINTWISE = True             # S3D/S3DG: fuse each inception
                                          # block's three sibling 1x1x1 convs
                                          # into one MXU matmul (same math,
-                                         # same checkpoint tree)
+                                         # same checkpoint tree; +1.2-1.3%
+                                         # in two independent chip sweeps,
+                                         # CHIP_QUEUE_r03b/r03c ledgers)
 _C.TPU.SEPCONV_FUSED = False             # S3D: custom-VJP 3-sweep recompute
                                          # backward for branch SepConvs
                                          # (Pallas on one TPU device)

@@ -30,6 +30,7 @@ no dynamic shapes ever reach XLA.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -797,7 +798,19 @@ def make_batch_augment_fn(cfg, kind: str):
                                    compute_dtype=compute_dtype)
                 return jax.vmap(per_clip)(kg, xg)
 
-            out = jax.lax.map(group, (flat, keys, perm_ids))
+            if os.environ.get("VGS_AUG_UNROLL") == "1":
+                # Measurement gate: inline the G group programs instead of
+                # the sequential lax.map while-loop, letting XLA overlap
+                # groups.  MEASURED DEAD END (08-18, v5e full step:
+                # 1359 -> 1316 clips/s, perf/CHIP_QUEUE_r03c.jsonl
+                # `aug_unroll`): the while body already saturates the VPU
+                # at group size 32, and inlining 8x the program only adds
+                # scheduling/compile cost.  Kept as the measured witness.
+                outs = [group((flat[i], keys[i], perm_ids[i]))
+                        for i in range(n_groups)]
+                out = jnp.stack(outs)
+            else:
+                out = jax.lax.map(group, (flat, keys, perm_ids))
             return out.reshape(b, v, *out.shape[2:])
 
         return fn

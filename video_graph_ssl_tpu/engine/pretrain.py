@@ -39,11 +39,23 @@ from .train_state import TrainState, ema_update
 
 def topk_accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
                   ks=(1, 5)) -> Dict[str, jnp.ndarray]:
-    """top-k accuracy in percent (reference: lib/evaluation/metric.py:44-67)."""
+    """top-k accuracy in percent (reference: lib/evaluation/metric.py:44-67).
+
+    Rank-counting instead of argsort: the label is in the descending
+    top-k iff (#strictly-greater logits) + (#equal logits at an earlier
+    index) < k — exactly a stable ``argsort(-logits)``'s placement, but
+    it lowers to two fusable compare+reduce passes.  The full (B, K+1)
+    sort this replaces cost ~2 ms/step at the MoCo queue width (profiled
+    08-18, v5e chrome trace: ``sort`` = 1.99 ms/step at (128, 16385))."""
+    pos = jnp.take_along_axis(logits, labels[:, None], axis=-1)
+    idx = jnp.arange(logits.shape[-1])
+    greater = jnp.sum((logits > pos).astype(jnp.int32), axis=-1)
+    ties_before = jnp.sum(((logits == pos) & (idx < labels[:, None]))
+                          .astype(jnp.int32), axis=-1)
+    rank = greater + ties_before
     out = {}
-    ranks = jnp.argsort(-logits, axis=-1)
     for k in ks:
-        hit = jnp.any(ranks[:, :k] == labels[:, None], axis=-1)
+        hit = rank < k
         out[f"top{k}"] = jnp.mean(hit.astype(jnp.float32)) * 100.0
     return out
 

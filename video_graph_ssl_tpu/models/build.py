@@ -139,10 +139,12 @@ def encoder_cfg_from(cfg, aug_flag: bool,
                              f"got {name}")
         ctor = functools.partial(ctor, stem_s2d=s2d)
     if bool(cfg.TPU.PACK_POINTWISE):
-        if name not in ("S3D", "S3DG", "I3D", "InceptionI3d"):
-            raise ValueError(f"TPU.PACK_POINTWISE only applies to the "
-                             f"S3D/S3DG/I3D inception family, got {name}")
-        ctor = functools.partial(ctor, pack_pointwise=True)
+        # Default-ON knob: applies to the inception family (where the
+        # three sibling 1x1x1 convs exist to pack — +1.2-1.3% on v5e,
+        # CHIP_QUEUE_r03b/r03c) and is a structural no-op elsewhere, so
+        # other backbones simply ignore it rather than erroring out.
+        if name in ("S3D", "S3DG", "I3D", "InceptionI3d"):
+            ctor = functools.partial(ctor, pack_pointwise=True)
     if bool(cfg.TPU.SEPCONV_FUSED):
         if name != "S3D":
             # S3DG's biased STConv3d variant keeps the standard backward

@@ -75,15 +75,25 @@ def max_pool_3d(x: jnp.ndarray, kernel_size, stride, padding=0) -> jnp.ndarray:
     # Strided pools keep reduce_window (strided-slice backward pads are
     # catastrophic: 101 ms at the stem pool, perf/maxpool_lab.py).
     s = _triple(stride)
-    if s == (1, 1, 1):
+    if s == (1, 1, 1) or os.environ.get("VGS_POOL_STRIDED") == "chain":
+        # Strided pools via VGS_POOL_STRIDED=chain: per axis, run the
+        # SAME dense where(>=) chain and immediately strided-slice that
+        # axis — one zero-interleave pad per axis in the backward instead
+        # of SelectAndScatter.  MEASURED DEAD END #3 for strided pools
+        # (08-18, v5e full step: 1359 -> 779 clips/s,
+        # perf/CHIP_QUEUE_r03c.jsonl `pool_chain`): the dense stride-1
+        # intermediates at stem resolution (4x the output elements) plus
+        # their interleave-pad cotangents cost far more HBM traffic than
+        # the 4.7 ms SelectAndScatter they replace.  Kept as the measured
+        # witness; exact math either way (forward golden-tested).
         k = _triple(kernel_size)
         p = _triple(padding)
         neg = (jnp.finfo(x.dtype).min
                if jnp.issubdtype(x.dtype, jnp.floating)
                else jnp.iinfo(x.dtype).min)
         y = x
-        for axis, (ki, pi) in enumerate(zip(k, p), start=1):
-            if ki == 1 and pi == 0:
+        for axis, (ki, pi, si) in enumerate(zip(k, p, s), start=1):
+            if ki == 1 and pi == 0 and si == 1:
                 continue
             pad5 = [(0, 0)] * y.ndim
             pad5[axis] = (pi, pi)
@@ -101,6 +111,10 @@ def max_pool_3d(x: jnp.ndarray, kernel_size, stride, padding=0) -> jnp.ndarray:
                 # tap — PyTorch's argmax convention.
                 acc = part if acc is None else jnp.where(acc >= part, acc,
                                                          part)
+            if si != 1:
+                sl = [slice(None)] * y.ndim
+                sl[axis] = slice(None, None, si)
+                acc = acc[tuple(sl)]
             y = acc
         return y
     # Strided pools keep the XLA lowering (SelectAndScatter gradient,
