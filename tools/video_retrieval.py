@@ -53,6 +53,12 @@ def get_parser():
                         help="spatial crops averaged per clip (reference "
                         "averages multi-crop features, :101-115)")
     parser.add_argument("--max_videos", default=0, type=int)
+    parser.add_argument("--save_vis", default=0, type=int,
+                        help="write retrieval strips (query + top-5 "
+                        "neighbors, match-colored borders) for the first "
+                        "N val videos — the reference README's "
+                        "fig/retrie_results.png workflow, for which it "
+                        "ships no code")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     return parser
 
@@ -147,7 +153,74 @@ def topk_retrieval(args):
         print(f"R@{k}: {recalls[k]:.2f}%")
     with open(os.path.join(args.feature_dir, "topk_correct.json"), "w") as f:
         json.dump(recalls, f)
+    if args.save_vis:
+        save_retrieval_vis(args, order, y_train, y_val)
     return recalls
+
+
+def _middle_frames(config, args, split: str, wanted: set) -> dict:
+    """{video_idx: (H, W, 3) uint8 middle frame} for ``wanted`` ids,
+    walking the SAME deterministic test loader used for extraction."""
+    split_cfg = config.clone()
+    split_cfg.defrost()
+    if split == "train":
+        split_cfg.DATASET.VALIDATION_SPLIT = config.DATASET.TRAIN_SPLIT
+    loader = make_test_loader(split_cfg, num_clips=1)
+    frames, seen = {}, 0
+    for batch in loader.epoch(0):
+        clips = batch["clips"]                     # (B, 1, T, H, W, C) u8
+        for b in range(clips.shape[0]):
+            idx = seen + b
+            if idx in wanted:
+                frames[idx] = np.asarray(
+                    clips[b, 0, clips.shape[2] // 2])
+        seen += clips.shape[0]
+        if (args.max_videos and seen >= args.max_videos) \
+                or len(frames) == len(wanted):
+            break
+    return frames
+
+
+def save_retrieval_vis(args, order, y_train, y_val, n_neighbors: int = 5):
+    """Strips of [query | top-k neighbors], green border = class match,
+    red = mismatch (reference README.md:72-76 shows this figure class;
+    the reference repo contains no code that produces it)."""
+    try:
+        import cv2
+    except Exception:
+        print("save_vis: cv2 unavailable, skipping")
+        return
+    n = min(int(args.save_vis), len(y_val))
+    val_ids = set(range(n))
+    train_ids = {int(j) for i in range(n) for j in order[i, :n_neighbors]}
+    qf = _middle_frames(cfg, args, "val", val_ids)
+    tf = _middle_frames(cfg, args, "train", train_ids)
+
+    def bordered(img, good):
+        color = (40, 200, 60) if good else (220, 50, 50)
+        return cv2.copyMakeBorder(img, 4, 4, 4, 4, cv2.BORDER_CONSTANT,
+                                  value=color)
+
+    rows = []
+    for i in range(n):
+        if i not in qf:
+            continue
+        tiles = [bordered(qf[i], True)]
+        for j in order[i, :n_neighbors]:
+            j = int(j)
+            if j not in tf:
+                continue
+            tiles.append(bordered(tf[j], y_train[j] == y_val[i]))
+        rows.append(np.concatenate(tiles, axis=1))
+    if not rows:
+        print("save_vis: no frames collected, skipping")
+        return
+    w = max(r.shape[1] for r in rows)
+    rows = [np.pad(r, ((0, 0), (0, w - r.shape[1]), (0, 0))) for r in rows]
+    grid = np.concatenate(rows, axis=0)
+    out = os.path.join(args.feature_dir, "retrieval_vis.png")
+    cv2.imwrite(out, grid[..., ::-1])
+    print(f"saved {out}: {len(rows)} query rows x top-{n_neighbors}")
 
 
 def main_worker():
