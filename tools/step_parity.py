@@ -39,6 +39,13 @@ statistics + ReLU boundary flips):
                                        queue logits, InfoNCE, enqueue,
                                        post-step EMA momentum — all via
                                        the production engine step)
+    bank     0.077 vs control 0.365   (alias-sampled negatives PINNED to
+                                       one shared (B, K+1) matrix on both
+                                       sides — the draw is the regime's
+                                       only stochastic input and the two
+                                       PRNGs cannot be synchronized;
+                                       memory EMA update + renormalize,
+                                       slot-0 positive, softmax-CE)
 
 The chaos floor is ~3-4x larger than our deviation in both regimes: the
 training recipes are indistinguishable at this scale, and any recipe bug
@@ -48,6 +55,7 @@ all O(1) signals) is excluded.
 Run (CPU, ~4-8 min each):
     PYTHONPATH= JAX_PLATFORMS=cpu python tools/step_parity.py --steps 3
     PYTHONPATH= JAX_PLATFORMS=cpu python tools/step_parity.py --regime moco --steps 3
+    PYTHONPATH= JAX_PLATFORMS=cpu python tools/step_parity.py --regime bank --steps 3
 """
 
 from __future__ import annotations
@@ -78,6 +86,7 @@ def build_cfg(args):
     c.CONTRAST.MEM_TYPE = args.regime
     c.CONTRAST.NCE_K = 64
     c.CONTRAST.NCE_T = 0.07
+    c.CONTRAST.NCE_M = 0.5
     c.CONTRAST.ALPHA = 0.999
     c.CROSS.CRITERION = "crossentropy"
     c.CROSS.FEAT_DIM = args.hid_dim
@@ -94,7 +103,8 @@ def build_cfg(args):
     return c
 
 
-def run_reference(cfg, batches, steps, perturb=0.0, seed=0):
+def run_reference(cfg, batches, steps, perturb=0.0, seed=0,
+                  fixed_neg_idx=None):
     """N steps of the reference GraphWrapper(SimSiam) under its own
     make_optimizer; returns per-step losses and before/after weights.
 
@@ -121,6 +131,28 @@ def run_reference(cfg, batches, steps, perturb=0.0, seed=0):
     mem_type = str(cfg.CONTRAST.MEM_TYPE)
     payload0 = {"state_dict": sd0}
     contrast = None
+    n_data = batches[0][0].shape[0]  # bank: one memory row per sample
+    if mem_type == "bank":
+        # cuda shims for the CPU ground-truth run (mem_bank.py:49,80;
+        # alias_multinomial hardcodes .cuda() too)
+        torch.Tensor.cuda = lambda self, *a, **kw: self
+        from lib.memory.alias_multinomial import AliasMethod
+        AliasMethod.cuda = lambda self, *a, **kw: None
+        from lib.memory.build import create_contrast, create_criterion
+
+        contrast = create_contrast(cfg, n_data=n_data)
+        criterion = create_criterion(cfg, n_data=n_data)
+        # PIN the alias-sampled negatives to the shared matrix: the draw
+        # is the only stochastic input to the bank step, and torch/jax
+        # PRNGs cannot be synchronized — both frameworks get the same
+        # (B, K+1) index matrix (slot 0 is overwritten by y either way,
+        # mem_bank.py:69 / memory/bank.py:57).
+        flat = torch.from_numpy(
+            np.ascontiguousarray(fixed_neg_idx.reshape(-1))).long()
+        contrast.multinomial.draw = lambda n: flat[:n].clone()
+        payload0["contrast"] = {
+            k: v.detach().clone().numpy()
+            for k, v in contrast.state_dict().items()}
     if mem_type == "moco":
         # reference memory/criterion hardcode .cuda(); no-op shim for the
         # CPU ground-truth run (mem_moco.py:78, criterion.py:43)
@@ -156,7 +188,17 @@ def run_reference(cfg, batches, steps, perturb=0.0, seed=0):
                        ).astype(np.float32)
         xt1 = torch.from_numpy(np.transpose(x1, (0, 4, 1, 2, 3)))
         xt2 = torch.from_numpy(np.transpose(x2, (0, 4, 1, 2, 3)))
-        if mem_type == "moco":
+        if mem_type == "bank":
+            # _train_ins order (:292-341); single process, so the
+            # all_feat/all_index gathers are feat/index themselves.
+            # One view per sample — the intended bank semantics (a 3D
+            # backbone cannot take the dataset's channel-concat pair).
+            index = torch.arange(xt1.shape[0], dtype=torch.long)
+            opt.zero_grad()
+            feat = model(xt1)
+            out, _labels = contrast(feat, index, None, feat, index)
+            loss = criterion(out)
+        elif mem_type == "moco":
             # _train_moco order (:396-441); single process, so ShuffleBN is
             # the identity wrapper around the EMA forward (:189-230) and
             # the all_k gather is feat_k itself
@@ -185,7 +227,7 @@ def run_reference(cfg, batches, steps, perturb=0.0, seed=0):
     return np.asarray(losses), payload0, sd_after
 
 
-def run_ours(cfg, payload0, batches, steps):
+def run_ours(cfg, payload0, batches, steps, fixed_neg_idx=None):
     """Same N steps through the PRODUCTION engine step
     (engine.make_pretrain_step — the exact function the trainer jits,
     minus the on-device augmentation seam), starting from the torch
@@ -205,13 +247,33 @@ def run_ours(cfg, payload0, batches, steps):
     hw = batches[0][0].shape[2:4]
     # simsiam models take the views axis; moco/bank encoders take one view
     # (engine/build.py: create_pretrain_state docstring)
+    mem_type = str(cfg.CONTRAST.MEM_TYPE)
+    n_data = b if mem_type == "bank" else 1
     example = np.zeros(
-        (b, 2, t, *hw, 3) if cfg.CONTRAST.MEM_TYPE == "simsiam"
+        (b, 2, t, *hw, 3) if mem_type == "simsiam"
         else (b, t, *hw, 3), np.float32)
-    state, tx = create_pretrain_state(cfg, model, example, n_data=1)
+    state, tx = create_pretrain_state(cfg, model, example, n_data=n_data)
     state, _notes = graft_pretrain_state(state, payload0, cfg)
 
-    step = jax.jit(make_pretrain_step(cfg, model, tx, n_data=1))
+    if mem_type == "bank":
+        # Pin the sampled negatives to the SAME matrix the reference got
+        # (see run_reference) — patched before tracing, so the jitted
+        # step bakes the shared indices in; slot 0 is still overwritten
+        # by y exactly like memory/bank.py:57.
+        from video_graph_ssl_tpu.engine import pretrain as eng
+
+        fixed = jnp.asarray(fixed_neg_idx, jnp.int32)
+
+        def pinned_bank_logits(bstate, x, y, key, K, T, alias=None):
+            idx = fixed.at[:, 0].set(y.astype(fixed.dtype))
+            w = bstate.memory[idx]
+            logits = jnp.einsum("bkd,bd->bk", w, x,
+                                preferred_element_type=jnp.float32) / T
+            return logits, jnp.zeros((x.shape[0],), jnp.int32)
+
+        eng.bank_logits = pinned_bank_logits
+
+    step = jax.jit(make_pretrain_step(cfg, model, tx, n_data=n_data))
     lr = float(cfg.SOLVER.BASE_LR)
 
     losses = []
@@ -219,7 +281,7 @@ def run_ours(cfg, payload0, batches, steps):
         x1, x2 = batches[i]
         batch = {"clips": jnp.asarray(np.stack([x1, x2], axis=1)),
                  "label": jnp.zeros(b, jnp.int32),
-                 "index": jnp.zeros(b, jnp.int32)}
+                 "index": jnp.arange(b, dtype=jnp.int32)}
         state, metrics = step(state, batch, lr)
         losses.append(float(metrics["loss"]))
 
@@ -236,7 +298,7 @@ def run_ours(cfg, payload0, batches, steps):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--regime", choices=["simsiam", "moco"],
+    ap.add_argument("--regime", choices=["simsiam", "moco", "bank"],
                     default="simsiam")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=8)
@@ -267,10 +329,19 @@ def main(argv=None):
         for _ in range(args.steps)
     ]
 
-    ref_losses, payload0, ref_after = run_reference(cfg, batches, args.steps)
+    # bank: one shared negative-index matrix for BOTH frameworks (the
+    # alias draw is the regime's only stochastic input)
+    fixed_neg_idx = g.integers(
+        0, args.batch, (args.batch, int(cfg.CONTRAST.NCE_K) + 1)
+    ).astype(np.int64) if args.regime == "bank" else None
+
+    ref_losses, payload0, ref_after = run_reference(
+        cfg, batches, args.steps, fixed_neg_idx=fixed_neg_idx)
     ctl_losses, _p0c, ctl_after = run_reference(
-        cfg, batches, args.steps, perturb=args.control_eps)
-    our_losses, our_after = run_ours(cfg, payload0, batches, args.steps)
+        cfg, batches, args.steps, perturb=args.control_eps,
+        fixed_neg_idx=fixed_neg_idx)
+    our_losses, our_after = run_ours(cfg, payload0, batches, args.steps,
+                                     fixed_neg_idx=fixed_neg_idx)
     sd0 = payload0["state_dict"]
 
     print(f"\n{'step':<6}{'reference':>12}{'ours':>12}{'|diff|':>12}"
