@@ -297,3 +297,89 @@ def test_s3d_head_pooling_matches_reference_weighting():
         if t == 2:  # at T'=2 the weighting degenerates to the uniform mean
             uniform = np.asarray(jnp.mean(x, axis=(1, 2, 3)))
             np.testing.assert_allclose(ours, uniform, rtol=1e-5, atol=1e-5)
+
+
+def test_bninception_bias_fold_numerical_parity():
+    """The reference BasicConv2d carries conv bias=True into BN
+    (bninception.py:13); our conv is biasless and the converter folds the
+    bias into the BN running mean — eval outputs must match torch."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    conv = nn.Conv2d(3, 8, 3, padding=1, bias=True)
+    bn = nn.BatchNorm2d(8, eps=1e-3)
+    bn.weight.data.uniform_(0.5, 1.5)
+    bn.bias.data.normal_()
+    bn.running_mean.normal_()
+    bn.running_var.uniform_(0.5, 2.0)
+    sd = {"blk.conv.weight": conv.weight.detach().numpy(),
+          "blk.conv.bias": conv.bias.detach().numpy(),
+          "blk.bn.weight": bn.weight.detach().numpy(),
+          "blk.bn.bias": bn.bias.detach().numpy(),
+          "blk.bn.running_mean": bn.running_mean.numpy(),
+          "blk.bn.running_var": bn.running_var.numpy()}
+    x = np.random.default_rng(1).normal(size=(2, 3, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        bn.eval()
+        ref = torch.relu(bn(conv(torch.tensor(x)))).numpy()
+    ref = np.transpose(ref, (0, 2, 3, 1))
+
+    from video_graph_ssl_tpu.models.bninception import BasicConv2d
+    from video_graph_ssl_tpu.utils.torch_interop import _convbn2d_fold_bias
+
+    params, stats = _convbn2d_fold_bias(sd, "blk")
+    m = BasicConv2d(8, 3, padding=1, dtype=jnp.float32)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    with jax.default_matmul_precision("highest"):
+        out = jax.jit(lambda v, x: m.apply(v, x, train=False))(
+            {"params": params, "batch_stats": stats}, xj)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def _assert_convert_matches_template(model, params, stats, x, feat_dim):
+    ref_vars = jax.jit(lambda x: m_init(model, x))(x)
+    ref_p = jax.tree_util.tree_structure(ref_vars["params"])
+    got_p = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(jnp.asarray, params))
+    assert ref_p == got_p, f"param tree mismatch:\n{ref_p}\nvs\n{got_p}"
+    jax.tree_util.tree_map(
+        lambda a, b: None if a.shape == b.shape else (_ for _ in ()).throw(
+            AssertionError(f"{a.shape} vs {b.shape}")),
+        ref_vars["params"], jax.tree_util.tree_map(jnp.asarray, params))
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, x)
+    assert out.shape == (x.shape[0], feat_dim)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def m_init(model, x):
+    return model.init({"params": jax.random.key(0)}, x, train=False)
+
+
+def test_full_bninception_conversion_and_forward():
+    from video_graph_ssl_tpu.models.bninception import BNInception
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_torch_bninception, reference_bninception_shape_manifest)
+
+    manifest = reference_bninception_shape_manifest()
+    sd = _random_sd(manifest, seed=5)
+    params, stats = convert_torch_bninception(sd)
+    m = BNInception(num_classes=None, dtype=jnp.float32)
+    # 64px: every stage stays even (the reference reduction block cannot
+    # take odd spatial sizes, bninception.py:185-207)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    _assert_convert_matches_template(m, params, stats, x, 1024)
+
+
+def test_full_inception_v3_conversion_and_forward():
+    from video_graph_ssl_tpu.models.inceptionv3 import InceptionV3
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_torch_inception_v3, reference_inception_v3_shape_manifest)
+
+    manifest = reference_inception_v3_shape_manifest()
+    sd = _random_sd(manifest, seed=6)
+    params, stats = convert_torch_inception_v3(sd)
+    m = InceptionV3(num_classes=None, dtype=jnp.float32)
+    x = jnp.zeros((1, 75, 75, 3), jnp.float32)
+    _assert_convert_matches_template(m, params, stats, x, 2048)

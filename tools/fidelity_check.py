@@ -283,7 +283,86 @@ def run_resnet2d(depth):
     return run
 
 
-_BACKENDS = {"s3d": run_s3d, "s3dg": run_s3dg, "i3d": run_i3d}
+def run_bninception(sd, x, has_fc, n_cls):
+    import torch
+
+    mod = _load_ref_pkg_module(
+        os.path.join(os.path.dirname(REF_DIR), "backbone_2d"),
+        "bninception.py", "ref_backbone_2d_bninc")
+    ref = mod.BNInception(num_classes=n_cls, aux_logits=False,
+                          init_weights=False)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+    unexpected = [k for k in unexpected
+                  if not k.endswith("num_batches_tracked")]
+    assert not unexpected, f"unconsumed checkpoint keys: {unexpected[:5]}"
+    ref.eval()
+    x2 = x.reshape((-1,) + x.shape[2:])
+    xt = torch.from_numpy(np.transpose(x2, (0, 3, 1, 2)))  # NCHW
+    with torch.no_grad():
+        # stage-by-stage (the reference forward is littered with debug
+        # prints, bninception.py:78-131)
+        out = ref.maxpool2(ref.conv3(ref.conv2(ref.maxpool1(ref.conv1(xt)))))
+        for blk in (ref.inception3a, ref.inception3b, ref.inception3c,
+                    ref.inception4a, ref.inception4b, ref.inception4c,
+                    ref.inception4d, ref.inception4e, ref.inception5a,
+                    ref.inception5b):
+            out = blk(out)
+        theirs = out.numpy().mean(axis=(2, 3))
+
+    import jax.numpy as jnp
+    from video_graph_ssl_tpu.models.bninception import BNInception
+    from video_graph_ssl_tpu.utils.torch_interop import \
+        convert_torch_bninception
+
+    params, stats = convert_torch_bninception(sd)
+    model = BNInception(num_classes=None, dtype=jnp.float32)
+    return model, params, stats, theirs, "features", x2
+
+
+def run_inception_v3(sd, x, has_fc, n_cls):
+    import torch
+    import torch.nn.functional as F
+
+    mod = _load_ref_pkg_module(
+        os.path.join(os.path.dirname(REF_DIR), "backbone_2d"),
+        "inceptionv3.py", "ref_backbone_2d_inc3")
+    ref = mod.Inception3(num_classes=n_cls, aux_logits=False,
+                         transform_input=False)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+    unexpected = [k for k in unexpected
+                  if not k.endswith("num_batches_tracked")]
+    assert not unexpected, f"unconsumed checkpoint keys: {unexpected[:5]}"
+    ref.eval()
+    x2 = x.reshape((-1,) + x.shape[2:])
+    xt = torch.from_numpy(np.transpose(x2, (0, 3, 1, 2)))  # NCHW
+    with torch.no_grad():
+        # stage-by-stage (forward order: inceptionv3.py:98-135; skips
+        # the fixed-k8 head pool so any 299-like geometry works)
+        out = ref.Conv2d_2b_3x3(ref.Conv2d_2a_3x3(ref.Conv2d_1a_3x3(xt)))
+        out = F.max_pool2d(out, kernel_size=3, stride=2)
+        out = ref.Conv2d_4a_3x3(ref.Conv2d_3b_1x1(out))
+        out = F.max_pool2d(out, kernel_size=3, stride=2)
+        for blk in (ref.Mixed_5b, ref.Mixed_5c, ref.Mixed_5d, ref.Mixed_6a,
+                    ref.Mixed_6b, ref.Mixed_6c, ref.Mixed_6d, ref.Mixed_6e,
+                    ref.Mixed_7a, ref.Mixed_7b, ref.Mixed_7c):
+            out = blk(out)
+        theirs = out.numpy().mean(axis=(2, 3))
+
+    import jax.numpy as jnp
+    from video_graph_ssl_tpu.models.inceptionv3 import InceptionV3
+    from video_graph_ssl_tpu.utils.torch_interop import \
+        convert_torch_inception_v3
+
+    params, stats = convert_torch_inception_v3(sd)
+    model = InceptionV3(num_classes=None, dtype=jnp.float32)
+    return model, params, stats, theirs, "features", x2
+
+
+_BACKENDS = {"s3d": run_s3d, "s3dg": run_s3dg, "i3d": run_i3d,
+             "bninception": run_bninception,
+             "inception_v3": run_inception_v3}
 for _d in (10, 18, 34, 50, 101, 152, 200):
     _BACKENDS[f"resnet3d_{_d}"] = run_resnet3d(_d)
 for _d in (18, 34, 50, 101, 152):
@@ -296,6 +375,10 @@ def _manifest(backbone, num_classes):
         return ti.reference_s3d_shape_manifest(num_classes)
     if backbone == "s3dg":
         return ti.reference_s3dg_shape_manifest(None)
+    if backbone == "bninception":
+        return ti.reference_bninception_shape_manifest(num_classes)
+    if backbone == "inception_v3":
+        return ti.reference_inception_v3_shape_manifest(num_classes)
     if backbone.startswith("resnet"):
         depth = int(backbone.rsplit("_", 1)[-1].replace("resnet", ""))
         return ti.reference_resnet_shape_manifest(

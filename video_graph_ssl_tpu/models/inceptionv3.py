@@ -80,15 +80,19 @@ class InceptionC(nn.Module):
     def __call__(self, x, train: bool = False, bn_frozen: bool = False):
         kw = dict(dtype=self.dtype)
         c7 = self.c7
+        # NB kernel orientations follow the REFERENCE file, which swaps
+        # the torchvision ones: branch7x7 runs (7,1) THEN (1,7), and the
+        # dbl branch alternates starting with (1,7)
+        # (inceptionv3.py:213-222).
         b1 = ConvBNRelu(192, name="b1x1", **kw)(x, train, bn_frozen)
         b7 = ConvBNRelu(c7, name="b7_1", **kw)(x, train, bn_frozen)
-        b7 = ConvBNRelu(c7, (1, 7), padding=(0, 3), name="b7_2", **kw)(b7, train, bn_frozen)
-        b7 = ConvBNRelu(192, (7, 1), padding=(3, 0), name="b7_3", **kw)(b7, train, bn_frozen)
+        b7 = ConvBNRelu(c7, (7, 1), padding=(3, 0), name="b7_2", **kw)(b7, train, bn_frozen)
+        b7 = ConvBNRelu(192, (1, 7), padding=(0, 3), name="b7_3", **kw)(b7, train, bn_frozen)
         bd = ConvBNRelu(c7, name="bd_1", **kw)(x, train, bn_frozen)
-        bd = ConvBNRelu(c7, (7, 1), padding=(3, 0), name="bd_2", **kw)(bd, train, bn_frozen)
-        bd = ConvBNRelu(c7, (1, 7), padding=(0, 3), name="bd_3", **kw)(bd, train, bn_frozen)
-        bd = ConvBNRelu(c7, (7, 1), padding=(3, 0), name="bd_4", **kw)(bd, train, bn_frozen)
-        bd = ConvBNRelu(192, (1, 7), padding=(0, 3), name="bd_5", **kw)(bd, train, bn_frozen)
+        bd = ConvBNRelu(c7, (1, 7), padding=(0, 3), name="bd_2", **kw)(bd, train, bn_frozen)
+        bd = ConvBNRelu(c7, (7, 1), padding=(3, 0), name="bd_3", **kw)(bd, train, bn_frozen)
+        bd = ConvBNRelu(c7, (1, 7), padding=(0, 3), name="bd_4", **kw)(bd, train, bn_frozen)
+        bd = ConvBNRelu(192, (7, 1), padding=(3, 0), name="bd_5", **kw)(bd, train, bn_frozen)
         bp = nn.avg_pool(x, (3, 3), (1, 1), [(1, 1), (1, 1)])
         bp = ConvBNRelu(192, name="bpool", **kw)(bp, train, bn_frozen)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
@@ -103,8 +107,9 @@ class InceptionD(nn.Module):
         b3 = ConvBNRelu(192, name="b3_1", **kw)(x, train, bn_frozen)
         b3 = ConvBNRelu(320, (3, 3), 2, name="b3_2", **kw)(b3, train, bn_frozen)
         b7 = ConvBNRelu(192, name="b7_1", **kw)(x, train, bn_frozen)
-        b7 = ConvBNRelu(192, (1, 7), padding=(0, 3), name="b7_2", **kw)(b7, train, bn_frozen)
-        b7 = ConvBNRelu(192, (7, 1), padding=(3, 0), name="b7_3", **kw)(b7, train, bn_frozen)
+        # reference orientation: (7,1) then (1,7) (inceptionv3.py:252-254)
+        b7 = ConvBNRelu(192, (7, 1), padding=(3, 0), name="b7_2", **kw)(b7, train, bn_frozen)
+        b7 = ConvBNRelu(192, (1, 7), padding=(0, 3), name="b7_3", **kw)(b7, train, bn_frozen)
         b7 = ConvBNRelu(192, (3, 3), 2, name="b7_4", **kw)(b7, train, bn_frozen)
         bp = nn.max_pool(x, (3, 3), (2, 2))
         return jnp.concatenate([b3, b7, bp], axis=-1)
@@ -118,13 +123,14 @@ class InceptionE(nn.Module):
         kw = dict(dtype=self.dtype)
         b1 = ConvBNRelu(320, name="b1x1", **kw)(x, train, bn_frozen)
         b3 = ConvBNRelu(384, name="b3_1", **kw)(x, train, bn_frozen)
-        b3a = ConvBNRelu(384, (1, 3), padding=(0, 1), name="b3_2a", **kw)(b3, train, bn_frozen)
-        b3b = ConvBNRelu(384, (3, 1), padding=(1, 0), name="b3_2b", **kw)(b3, train, bn_frozen)
+        # reference orientation: 2a=(3,1), 2b=(1,3) (inceptionv3.py:283-284)
+        b3a = ConvBNRelu(384, (3, 1), padding=(1, 0), name="b3_2a", **kw)(b3, train, bn_frozen)
+        b3b = ConvBNRelu(384, (1, 3), padding=(0, 1), name="b3_2b", **kw)(b3, train, bn_frozen)
         b3 = jnp.concatenate([b3a, b3b], axis=-1)
         bd = ConvBNRelu(448, name="bd_1", **kw)(x, train, bn_frozen)
         bd = ConvBNRelu(384, (3, 3), padding=(1, 1), name="bd_2", **kw)(bd, train, bn_frozen)
-        bda = ConvBNRelu(384, (1, 3), padding=(0, 1), name="bd_3a", **kw)(bd, train, bn_frozen)
-        bdb = ConvBNRelu(384, (3, 1), padding=(1, 0), name="bd_3b", **kw)(bd, train, bn_frozen)
+        bda = ConvBNRelu(384, (3, 1), padding=(1, 0), name="bd_3a", **kw)(bd, train, bn_frozen)
+        bdb = ConvBNRelu(384, (1, 3), padding=(0, 1), name="bd_3b", **kw)(bd, train, bn_frozen)
         bd = jnp.concatenate([bda, bdb], axis=-1)
         bp = nn.avg_pool(x, (3, 3), (1, 1), [(1, 1), (1, 1)])
         bp = ConvBNRelu(192, name="bpool", **kw)(bp, train, bn_frozen)

@@ -34,7 +34,9 @@ import numpy as np
 import functools
 
 from .torch_interop import (
+    convert_torch_bninception,
     convert_torch_i3d,
+    convert_torch_inception_v3,
     convert_torch_resnet,
     convert_torch_s3d,
     convert_torch_s3dg,
@@ -46,6 +48,8 @@ _BACKBONE_CONVERTERS = {
     "s3dg": convert_torch_s3dg,
     "i3d": convert_torch_i3d,
     "inceptioni3d": convert_torch_i3d,
+    "bninception": convert_torch_bninception,
+    "inception_v3": convert_torch_inception_v3,
 }
 # ResNet families: one key-driven converter covers every depth
 # (backbone_2d/resnet.py torchvision naming, backbone_3d/resnet.py).

@@ -660,3 +660,250 @@ def reference_s3d_shape_manifest(num_classes: Optional[int] = None
         manifest["fc.0.weight"] = (num_classes, 1024, 1, 1, 1)
         manifest["fc.0.bias"] = (num_classes,)
     return manifest
+
+
+# --------------------------------------------------------------------------- #
+# BN-Inception (2D) — reference backbone_2d/bninception.py:22-266
+# --------------------------------------------------------------------------- #
+# ours-module-name -> torch attribute suffix inside each inception block
+_BNINC_REGULAR = {
+    "branch1": "branch1",
+    "branch2_reduce": "branch2.0",
+    "branch2": "branch2.1",
+    "branch3_reduce": "branch3.0",
+    "branch3_mid": "branch3.1",
+    "branch3": "branch3.2",
+    "branch4": "branch4.1",
+}
+_BNINC_REDUCE = {
+    "branch1_reduce": "branch1.0",
+    "branch1": "branch1.1",
+    "branch2_reduce": "branch2.0",
+    "branch2_mid": "branch2.1",
+    "branch2": "branch2.2",
+}
+
+
+def _convbn2d_fold_bias(sd, prefix: str) -> Tuple[dict, dict]:
+    """Reference BasicConv2d ``prefix``.{conv,bn} -> our {conv, bn}.
+
+    The reference conv carries ``bias=True`` (bninception.py:13) feeding
+    straight into BatchNorm, where a constant shift is mathematically
+    inert in train mode (batch centering removes it) and only offsets the
+    tracked running mean.  Our conv is biasless, so the bias FOLDS exactly:
+    ``mean_ours = running_mean - bias`` (variance unchanged) — eval
+    outputs are bit-identical."""
+    w = np.transpose(np.asarray(sd[prefix + ".conv.weight"]), (2, 3, 1, 0))
+    bias = np.asarray(sd.get(prefix + ".conv.bias",
+                             np.zeros(w.shape[-1], np.float32)))
+    params = {
+        "conv": {"kernel": w},
+        "bn": {"scale": np.asarray(sd[prefix + ".bn.weight"]),
+               "bias": np.asarray(sd[prefix + ".bn.bias"])},
+    }
+    stats = {"bn": {"mean": np.asarray(sd[prefix + ".bn.running_mean"])
+                    - bias,
+                    "var": np.asarray(sd[prefix + ".bn.running_var"])}}
+    return params, stats
+
+
+def convert_torch_bninception(
+    sd: Dict[str, np.ndarray],
+    with_classifier: bool = False,
+) -> Tuple[dict, dict]:
+    """Reference BNInception state_dict -> (params, batch_stats) for
+    models.bninception.BNInception (naming: bninception.py:27-49 ->
+    models/bninception.py _NAMES/_PLAN)."""
+    from ..models.bninception import _NAMES, _PLAN
+
+    params: dict = {}
+    stats: dict = {}
+    for stem in ("conv1", "conv2", "conv3"):
+        params[stem], stats[stem] = _convbn2d_fold_bias(sd, stem)
+    for name, (kind, _spec) in zip(_NAMES, _PLAN):
+        table = _BNINC_REGULAR if kind == "i" else _BNINC_REDUCE
+        bp: dict = {}
+        bs: dict = {}
+        for ours, suffix in table.items():
+            bp[ours], bs[ours] = _convbn2d_fold_bias(sd, f"{name}.{suffix}")
+        params[name], stats[name] = bp, bs
+    if with_classifier and "fc.weight" in sd:
+        params["fc"] = {"kernel": np.asarray(sd["fc.weight"]).T,
+                        "bias": np.asarray(sd["fc.bias"])}
+    return params, stats
+
+
+def reference_bninception_shape_manifest(num_classes: Optional[int] = None
+                                         ) -> Dict[str, tuple]:
+    """Name -> shape manifest of a reference BNInception state_dict
+    (channel plan: bninception.py:28-46)."""
+    from ..models.bninception import _NAMES, _PLAN
+
+    manifest: Dict[str, tuple] = {}
+
+    def convbn(base, cin, cout, k):
+        manifest[base + ".conv.weight"] = (cout, cin, k, k)
+        manifest[base + ".conv.bias"] = (cout,)
+        for suffix in ("weight", "bias", "running_mean", "running_var"):
+            manifest[f"{base}.bn.{suffix}"] = (cout,)
+
+    convbn("conv1", 3, 64, 7)
+    convbn("conv2", 64, 64, 1)
+    convbn("conv3", 64, 192, 3)
+    in_ch = 192
+    for name, (kind, spec) in zip(_NAMES, _PLAN):
+        if kind == "i":
+            c1, c3r, c3, cdr, cdm, cdb, cp, _pool = spec
+            convbn(f"{name}.branch1", in_ch, c1, 1)
+            convbn(f"{name}.branch2.0", in_ch, c3r, 1)
+            convbn(f"{name}.branch2.1", c3r, c3, 3)
+            convbn(f"{name}.branch3.0", in_ch, cdr, 1)
+            convbn(f"{name}.branch3.1", cdr, cdm, 3)
+            convbn(f"{name}.branch3.2", cdm, cdb, 3)
+            convbn(f"{name}.branch4.1", in_ch, cp, 1)
+            in_ch = c1 + c3 + cdb + cp
+        else:
+            c3r, c3, cdr, cdm, cdb = spec
+            convbn(f"{name}.branch1.0", in_ch, c3r, 1)
+            convbn(f"{name}.branch1.1", c3r, c3, 3)
+            convbn(f"{name}.branch2.0", in_ch, cdr, 1)
+            convbn(f"{name}.branch2.1", cdr, cdm, 3)
+            convbn(f"{name}.branch2.2", cdm, cdb, 3)
+            in_ch = c3 + cdb + in_ch
+    if num_classes:
+        manifest["fc.weight"] = (num_classes, in_ch)
+        manifest["fc.bias"] = (num_classes,)
+    return manifest
+
+
+# --------------------------------------------------------------------------- #
+# Inception-v3 (2D) — reference backbone_2d/inceptionv3.py:51-352
+# --------------------------------------------------------------------------- #
+# NB the reference's InceptionC/D/E kernel ORIENTATIONS are swapped vs
+# torchvision (e.g. branch7x7_2 is (7,1) not (1,7), inceptionv3.py:213-222);
+# models/inceptionv3.py follows the reference exactly, so the converter is a
+# pure rename + transpose.
+_INC3_STEMS = {
+    "conv1a": "Conv2d_1a_3x3",
+    "conv2a": "Conv2d_2a_3x3",
+    "conv2b": "Conv2d_2b_3x3",
+    "conv3b": "Conv2d_3b_1x1",
+    "conv4a": "Conv2d_4a_3x3",
+}
+_INC3_BRANCHES = {
+    "A": {"b1x1": "branch1x1", "b5_1": "branch5x5_1", "b5_2": "branch5x5_2",
+          "b3_1": "branch3x3dbl_1", "b3_2": "branch3x3dbl_2",
+          "b3_3": "branch3x3dbl_3", "bpool": "branch_pool"},
+    "B": {"b3": "branch3x3", "bd_1": "branch3x3dbl_1",
+          "bd_2": "branch3x3dbl_2", "bd_3": "branch3x3dbl_3"},
+    "C": {"b1x1": "branch1x1", "b7_1": "branch7x7_1", "b7_2": "branch7x7_2",
+          "b7_3": "branch7x7_3", "bd_1": "branch7x7dbl_1",
+          "bd_2": "branch7x7dbl_2", "bd_3": "branch7x7dbl_3",
+          "bd_4": "branch7x7dbl_4", "bd_5": "branch7x7dbl_5",
+          "bpool": "branch_pool"},
+    "D": {"b3_1": "branch3x3_1", "b3_2": "branch3x3_2",
+          "b7_1": "branch7x7x3_1", "b7_2": "branch7x7x3_2",
+          "b7_3": "branch7x7x3_3", "b7_4": "branch7x7x3_4"},
+    "E": {"b1x1": "branch1x1", "b3_1": "branch3x3_1", "b3_2a": "branch3x3_2a",
+          "b3_2b": "branch3x3_2b", "bd_1": "branch3x3dbl_1",
+          "bd_2": "branch3x3dbl_2", "bd_3a": "branch3x3dbl_3a",
+          "bd_3b": "branch3x3dbl_3b", "bpool": "branch_pool"},
+}
+# ours block name -> (family, torch module name)
+_INC3_BLOCKS = (
+    ("mixed_5b", "A", "Mixed_5b"), ("mixed_5c", "A", "Mixed_5c"),
+    ("mixed_5d", "A", "Mixed_5d"), ("mixed_6a", "B", "Mixed_6a"),
+    ("mixed_6b", "C", "Mixed_6b"), ("mixed_6c", "C", "Mixed_6c"),
+    ("mixed_6d", "C", "Mixed_6d"), ("mixed_6e", "C", "Mixed_6e"),
+    ("mixed_7a", "D", "Mixed_7a"), ("mixed_7b", "E", "Mixed_7b"),
+    ("mixed_7c", "E", "Mixed_7c"),
+)
+
+
+def convert_torch_inception_v3(
+    sd: Dict[str, np.ndarray],
+    with_classifier: bool = False,
+) -> Tuple[dict, dict]:
+    """Reference Inception3 state_dict -> (params, batch_stats) for
+    models.inceptionv3.InceptionV3."""
+    params: dict = {}
+    stats: dict = {}
+    for ours, theirs in _INC3_STEMS.items():
+        params[ours], stats[ours] = _convbn2d_fold_bias(sd, theirs)
+    for ours_blk, family, theirs_blk in _INC3_BLOCKS:
+        bp: dict = {}
+        bs: dict = {}
+        for ours, theirs in _INC3_BRANCHES[family].items():
+            bp[ours], bs[ours] = _convbn2d_fold_bias(
+                sd, f"{theirs_blk}.{theirs}")
+        params[ours_blk], stats[ours_blk] = bp, bs
+    if with_classifier and "fc.weight" in sd:
+        params["fc"] = {"kernel": np.asarray(sd["fc.weight"]).T,
+                        "bias": np.asarray(sd["fc.bias"])}
+    return params, stats
+
+
+def reference_inception_v3_shape_manifest(num_classes: Optional[int] = None
+                                          ) -> Dict[str, tuple]:
+    """Name -> shape manifest of a reference Inception3 state_dict
+    (channel plan + the reference's swapped orientations,
+    inceptionv3.py:57-76,152-340)."""
+    manifest: Dict[str, tuple] = {}
+
+    def convbn(base, cout, cin, kh, kw_):
+        manifest[base + ".conv.weight"] = (cout, cin, kh, kw_)
+        manifest[base + ".conv.bias"] = (cout,)
+        for suffix in ("weight", "bias", "running_mean", "running_var"):
+            manifest[f"{base}.bn.{suffix}"] = (cout,)
+
+    convbn("Conv2d_1a_3x3", 32, 3, 3, 3)
+    convbn("Conv2d_2a_3x3", 32, 32, 3, 3)
+    convbn("Conv2d_2b_3x3", 64, 32, 3, 3)
+    convbn("Conv2d_3b_1x1", 80, 64, 1, 1)
+    convbn("Conv2d_4a_3x3", 192, 80, 3, 3)
+    a_specs = {"Mixed_5b": (192, 32), "Mixed_5c": (256, 64),
+               "Mixed_5d": (288, 64)}
+    for blk, (cin, pf) in a_specs.items():
+        convbn(f"{blk}.branch1x1", 64, cin, 1, 1)
+        convbn(f"{blk}.branch5x5_1", 48, cin, 1, 1)
+        convbn(f"{blk}.branch5x5_2", 64, 48, 5, 5)
+        convbn(f"{blk}.branch3x3dbl_1", 64, cin, 1, 1)
+        convbn(f"{blk}.branch3x3dbl_2", 96, 64, 3, 3)
+        convbn(f"{blk}.branch3x3dbl_3", 96, 96, 3, 3)
+        convbn(f"{blk}.branch_pool", pf, cin, 1, 1)
+    convbn("Mixed_6a.branch3x3", 384, 288, 3, 3)
+    convbn("Mixed_6a.branch3x3dbl_1", 64, 288, 1, 1)
+    convbn("Mixed_6a.branch3x3dbl_2", 96, 64, 3, 3)
+    convbn("Mixed_6a.branch3x3dbl_3", 96, 96, 3, 3)
+    for blk, c7 in (("Mixed_6b", 128), ("Mixed_6c", 160),
+                    ("Mixed_6d", 160), ("Mixed_6e", 192)):
+        convbn(f"{blk}.branch1x1", 192, 768, 1, 1)
+        convbn(f"{blk}.branch7x7_1", c7, 768, 1, 1)
+        convbn(f"{blk}.branch7x7_2", c7, c7, 7, 1)
+        convbn(f"{blk}.branch7x7_3", 192, c7, 1, 7)
+        convbn(f"{blk}.branch7x7dbl_1", c7, 768, 1, 1)
+        convbn(f"{blk}.branch7x7dbl_2", c7, c7, 1, 7)
+        convbn(f"{blk}.branch7x7dbl_3", c7, c7, 7, 1)
+        convbn(f"{blk}.branch7x7dbl_4", c7, c7, 1, 7)
+        convbn(f"{blk}.branch7x7dbl_5", 192, c7, 7, 1)
+        convbn(f"{blk}.branch_pool", 192, 768, 1, 1)
+    convbn("Mixed_7a.branch3x3_1", 192, 768, 1, 1)
+    convbn("Mixed_7a.branch3x3_2", 320, 192, 3, 3)
+    convbn("Mixed_7a.branch7x7x3_1", 192, 768, 1, 1)
+    convbn("Mixed_7a.branch7x7x3_2", 192, 192, 7, 1)
+    convbn("Mixed_7a.branch7x7x3_3", 192, 192, 1, 7)
+    convbn("Mixed_7a.branch7x7x3_4", 192, 192, 3, 3)
+    for blk, cin in (("Mixed_7b", 1280), ("Mixed_7c", 2048)):
+        convbn(f"{blk}.branch1x1", 320, cin, 1, 1)
+        convbn(f"{blk}.branch3x3_1", 384, cin, 1, 1)
+        convbn(f"{blk}.branch3x3_2a", 384, 384, 3, 1)
+        convbn(f"{blk}.branch3x3_2b", 384, 384, 1, 3)
+        convbn(f"{blk}.branch3x3dbl_1", 448, cin, 1, 1)
+        convbn(f"{blk}.branch3x3dbl_2", 384, 448, 3, 3)
+        convbn(f"{blk}.branch3x3dbl_3a", 384, 384, 3, 1)
+        convbn(f"{blk}.branch3x3dbl_3b", 384, 384, 1, 3)
+        convbn(f"{blk}.branch_pool", 192, cin, 1, 1)
+    if num_classes:
+        manifest["fc.weight"] = (num_classes, 2048)
+        manifest["fc.bias"] = (num_classes,)
+    return manifest
