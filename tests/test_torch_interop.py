@@ -383,3 +383,18 @@ def test_full_inception_v3_conversion_and_forward():
     m = InceptionV3(num_classes=None, dtype=jnp.float32)
     x = jnp.zeros((1, 75, 75, 3), jnp.float32)
     _assert_convert_matches_template(m, params, stats, x, 2048)
+
+
+@pytest.mark.parametrize("depth,feat", [(18, 512), (50, 2048)])
+def test_full_resnet2p1d_conversion_and_forward(depth, feat):
+    from video_graph_ssl_tpu.models import resnet2p1d as r2p
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_torch_resnet2p1d, reference_resnet2p1d_shape_manifest)
+
+    manifest = reference_resnet2p1d_shape_manifest(depth)
+    sd = _random_sd(manifest, seed=7)
+    params, stats = convert_torch_resnet2p1d(sd)
+    m = getattr(r2p, f"resnet2p1d_{depth}")(num_classes=None,
+                                            dtype=jnp.float32)
+    x = jnp.zeros((1, 8, 32, 32, 3), jnp.float32)
+    _assert_convert_matches_template(m, params, stats, x, feat)

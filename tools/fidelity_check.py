@@ -360,9 +360,46 @@ def run_inception_v3(sd, x, has_fc, n_cls):
     return model, params, stats, theirs, "features", x2
 
 
+def run_resnet2p1d(depth):
+    def run(sd, x, has_fc, n_cls):
+        import torch
+
+        mod = _load_ref_pkg_module(REF_DIR, "resnet2p1d.py",
+                                   "ref_backbone_3d_r2p1d")
+        ref = mod.generate_model(depth, n_classes=n_cls)
+        missing, unexpected = ref.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+        unexpected = [k for k in unexpected
+                      if not k.endswith("num_batches_tracked")]
+        assert not unexpected, f"unconsumed checkpoint keys: {unexpected[:5]}"
+        ref.eval()
+        xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))  # NCDHW
+        with torch.no_grad():
+            out = ref.relu(ref.bn1_s(ref.conv1_s(xt)))
+            out = ref.relu(ref.bn1_t(ref.conv1_t(out)))
+            out = ref.maxpool(out)
+            for l in (ref.layer1, ref.layer2, ref.layer3, ref.layer4):
+                out = l(out)
+            theirs = out.numpy().mean(axis=(2, 3, 4))
+
+        import jax.numpy as jnp
+        from video_graph_ssl_tpu.models import resnet2p1d as ours_mod
+        from video_graph_ssl_tpu.utils.torch_interop import \
+            convert_torch_resnet2p1d
+
+        params, stats = convert_torch_resnet2p1d(sd)
+        model = getattr(ours_mod, f"resnet2p1d_{depth}")(
+            num_classes=None, dtype=jnp.float32)
+        return model, params, stats, theirs, "features", x
+
+    return run
+
+
 _BACKENDS = {"s3d": run_s3d, "s3dg": run_s3dg, "i3d": run_i3d,
              "bninception": run_bninception,
              "inception_v3": run_inception_v3}
+for _d in (10, 18, 34, 50, 101, 152, 200):
+    _BACKENDS[f"resnet2p1d_{_d}"] = run_resnet2p1d(_d)
 for _d in (10, 18, 34, 50, 101, 152, 200):
     _BACKENDS[f"resnet3d_{_d}"] = run_resnet3d(_d)
 for _d in (18, 34, 50, 101, 152):
@@ -379,6 +416,9 @@ def _manifest(backbone, num_classes):
         return ti.reference_bninception_shape_manifest(num_classes)
     if backbone == "inception_v3":
         return ti.reference_inception_v3_shape_manifest(num_classes)
+    if backbone.startswith("resnet2p1d"):
+        return ti.reference_resnet2p1d_shape_manifest(
+            int(backbone.rsplit("_", 1)[-1]))
     if backbone.startswith("resnet"):
         depth = int(backbone.rsplit("_", 1)[-1].replace("resnet", ""))
         return ti.reference_resnet_shape_manifest(

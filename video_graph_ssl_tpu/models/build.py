@@ -37,6 +37,10 @@ BACKBONES_3D = {
     "resnet2p1d_10": (resnet2p1d.resnet2p1d_10, 512, (2, 3, 4)),
     "resnet2p1d_18": (resnet2p1d.resnet2p1d_18, 512, (2, 3, 4)),
     "resnet2p1d_34": (resnet2p1d.resnet2p1d_34, 512, (2, 3, 4)),
+    "resnet2p1d_50": (resnet2p1d.resnet2p1d_50, 2048, (2, 3, 4)),
+    "resnet2p1d_101": (resnet2p1d.resnet2p1d_101, 2048, (2, 3, 4)),
+    "resnet2p1d_152": (resnet2p1d.resnet2p1d_152, 2048, (2, 3, 4)),
+    "resnet2p1d_200": (resnet2p1d.resnet2p1d_200, 2048, (2, 3, 4)),
     "resnet3d_10": (resnet3d.resnet3d_10, 512, (2, 3, 4)),
     "resnet3d_18": (resnet3d.resnet3d_18, 512, (2, 3, 4)),
     "resnet3d_34": (resnet3d.resnet3d_34, 512, (2, 3, 4)),

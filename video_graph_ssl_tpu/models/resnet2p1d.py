@@ -80,8 +80,39 @@ class BasicBlock2p1d(nn.Module):
         return nn.relu(out + residual)
 
 
+class Bottleneck2p1d(nn.Module):
+    """1x1x1 -> (2+1)D pair -> 1x1x1 (x4), reference Bottleneck
+    (resnet2p1d.py:90-137; mid = 27*planes // 12)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv1x1 = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                          param_dtype=jnp.float32, kernel_size=(1, 1, 1),
+                          padding="VALID")
+        residual = x
+        out = conv1x1(self.planes, name="conv1")(x)
+        out = nn.relu(_BN(name="bn1")(out, train).astype(self.dtype))
+        out = Conv2Plus1D(self.planes, _mid(self.planes, self.planes),
+                          self.stride, self.dtype, name="conv2")(out, train)
+        out = nn.relu(_BN(name="bn2")(out, train).astype(self.dtype))
+        out = conv1x1(self.planes * 4, name="conv3")(out)
+        out = _BN(name="bn3")(out, train).astype(self.dtype)
+        if self.downsample:
+            s = (self.stride,) * 3
+            residual = conv1x1(self.planes * 4, strides=s,
+                               name="ds_conv")(x)
+            residual = _BN(name="ds_bn")(residual, train).astype(self.dtype)
+        return nn.relu(out + residual)
+
+
 class ResNet2Plus1D(nn.Module):
     layers: Sequence[int]
+    block_type: str = "basic"    # basic (10/18/34) | bottleneck (50+)
     num_classes: Optional[int] = None
     aug_points: Tuple[int, ...] = ()
     graph_cfg: Optional[Dict[str, Any]] = None
@@ -97,20 +128,25 @@ class ResNet2Plus1D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         gcfg = dict(self.graph_cfg or {})
-        block = BasicBlock2p1d
+        block = (BasicBlock2p1d if self.block_type == "basic"
+                 else Bottleneck2p1d)
+        exp = 1 if self.block_type == "basic" else 4
         if self.remat:
             block = nn.remat(block, static_argnums=(2,))
 
         x = x.astype(self.dtype)
-        # (2+1)D stem: (1,7,7)/ (1,2,2) then (3,1,1) (reference :159-171)
-        mid = _mid(3, 64, 3, 7)
+        # (2+1)D stem: (1,7,7)/(1,2,2) then (7,1,1)/(1,1,1) — the
+        # reference's conv1_t_size default is 7, and its stem mid-width
+        # parameter-matches the full 3x7x7 3D conv accordingly
+        # (mid = 110, reference :159-175).
+        mid = _mid(3, 64, 7, 7)
         x = nn.Conv(mid, (1, 7, 7), (1, 2, 2),
                     [(0, 0), (3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem_s")(x)
         x = nn.relu(_BN(name="stem_bn_s")(x, train).astype(self.dtype))
-        x = nn.Conv(64, (3, 1, 1), (1, 1, 1),
-                    [(1, 1), (0, 0), (0, 0)], use_bias=False,
+        x = nn.Conv(64, (7, 1, 1), (1, 1, 1),
+                    [(3, 3), (0, 0), (0, 0)], use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem_t")(x)
         x = nn.relu(_BN(name="stem_bn_t")(x, train).astype(self.dtype))
@@ -128,10 +164,10 @@ class ResNet2Plus1D(nn.Module):
                                      **gcfg)(x, train=train)
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 1) else 1
-                need_ds = stride != 1 or in_ch != planes
+                need_ds = stride != 1 or in_ch != planes * exp
                 x = block(planes, stride, need_ds, self.dtype,
                           name=f"layer{stage}_{b}")(x, block_train)
-                in_ch = planes
+                in_ch = planes * exp
 
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
         if self.num_classes is None:
@@ -141,15 +177,20 @@ class ResNet2Plus1D(nn.Module):
 
     @property
     def feature_dim(self) -> int:
-        return 512
+        return 512 * (1 if self.block_type == "basic" else 4)
 
 
-def _variant(layers):
+def _variant(layers, block_type="basic"):
     def ctor(**kwargs):
-        return ResNet2Plus1D(layers=tuple(layers), **kwargs)
+        return ResNet2Plus1D(layers=tuple(layers), block_type=block_type,
+                             **kwargs)
     return ctor
 
 
 resnet2p1d_10 = _variant((1, 1, 1, 1))
 resnet2p1d_18 = _variant((2, 2, 2, 2))
 resnet2p1d_34 = _variant((3, 4, 6, 3))
+resnet2p1d_50 = _variant((3, 4, 6, 3), "bottleneck")
+resnet2p1d_101 = _variant((3, 4, 23, 3), "bottleneck")
+resnet2p1d_152 = _variant((3, 8, 36, 3), "bottleneck")
+resnet2p1d_200 = _variant((3, 24, 36, 3), "bottleneck")

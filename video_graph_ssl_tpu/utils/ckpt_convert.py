@@ -59,6 +59,9 @@ for _d in (10, 18, 34, 50, 101, 152, 200):
 for _d in (18, 34, 50, 101, 152):
     _BACKBONE_CONVERTERS[f"resnet{_d}"] = functools.partial(
         convert_torch_resnet, dims=2)
+from .torch_interop import convert_torch_resnet2p1d  # noqa: E402
+for _d in (10, 18, 34, 50, 101, 152, 200):
+    _BACKBONE_CONVERTERS[f"resnet2p1d_{_d}"] = convert_torch_resnet2p1d
 
 
 def _sub(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:

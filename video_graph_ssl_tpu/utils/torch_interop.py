@@ -907,3 +907,133 @@ def reference_inception_v3_shape_manifest(num_classes: Optional[int] = None
         manifest["fc.weight"] = (num_classes, 2048)
         manifest["fc.bias"] = (num_classes,)
     return manifest
+
+
+# --------------------------------------------------------------------------- #
+# R(2+1)D — reference backbone_3d/resnet2p1d.py:139-285
+# --------------------------------------------------------------------------- #
+def convert_torch_resnet2p1d(
+    sd: Dict[str, np.ndarray],
+    with_classifier: bool = False,
+) -> Tuple[dict, dict]:
+    """Reference R(2+1)D state_dict -> (params, batch_stats) for
+    models.resnet2p1d.ResNet2Plus1D.  Block type is inferred from the keys
+    (bottleneck iff ``layer1.0.conv3`` exists); the factorized pairs map
+    conv{i}_s/bn{i}_s/conv{i}_t into our Conv2Plus1D(spatial, bn_s,
+    temporal) with bn{i}_t as the block-level bn{i}."""
+    perm = (2, 3, 4, 1, 0)
+
+    def convw(name):
+        return {"kernel": np.transpose(np.asarray(sd[name + ".weight"]),
+                                       perm)}
+
+    def bn(name):
+        p = {"bn": {"scale": np.asarray(sd[name + ".weight"]),
+                    "bias": np.asarray(sd[name + ".bias"])}}
+        s = {"bn": {"mean": np.asarray(sd[name + ".running_mean"]),
+                    "var": np.asarray(sd[name + ".running_var"])}}
+        return p, s
+
+    def pair(prefix, i):
+        """conv{i}_s / bn{i}_s / conv{i}_t -> Conv2Plus1D subtree."""
+        bs_p, bs_s = bn(f"{prefix}.bn{i}_s")
+        p = {"spatial": convw(f"{prefix}.conv{i}_s"),
+             "bn_s": bs_p,
+             "temporal": convw(f"{prefix}.conv{i}_t")}
+        s = {"bn_s": bs_s}
+        return p, s
+
+    params: dict = {"stem_s": convw("conv1_s"), "stem_t": convw("conv1_t")}
+    stats: dict = {}
+    params["stem_bn_s"], stats["stem_bn_s"] = bn("bn1_s")
+    params["stem_bn_t"], stats["stem_bn_t"] = bn("bn1_t")
+    bottleneck = "layer1.0.conv3.weight" in sd
+    for st in (1, 2, 3, 4):
+        b = 0
+        while (f"layer{st}.{b}.conv1_s.weight" in sd
+               or f"layer{st}.{b}.conv1.weight" in sd):
+            prefix = f"layer{st}.{b}"
+            bp: dict = {}
+            bs: dict = {}
+            if bottleneck:
+                bp["conv1"] = convw(f"{prefix}.conv1")
+                bp["bn1"], bs["bn1"] = bn(f"{prefix}.bn1")
+                bp["conv2"], bs["conv2"] = pair(prefix, 2)
+                bp["bn2"], bs["bn2"] = bn(f"{prefix}.bn2_t")
+                bp["conv3"] = convw(f"{prefix}.conv3")
+                bp["bn3"], bs["bn3"] = bn(f"{prefix}.bn3")
+            else:
+                bp["conv1"], bs["conv1"] = pair(prefix, 1)
+                bp["bn1"], bs["bn1"] = bn(f"{prefix}.bn1_t")
+                bp["conv2"], bs["conv2"] = pair(prefix, 2)
+                bp["bn2"], bs["bn2"] = bn(f"{prefix}.bn2_t")
+            if f"{prefix}.downsample.0.weight" in sd:
+                bp["ds_conv"] = convw(f"{prefix}.downsample.0")
+                bp["ds_bn"], bs["ds_bn"] = bn(f"{prefix}.downsample.1")
+            params[f"layer{st}_{b}"], stats[f"layer{st}_{b}"] = bp, bs
+            b += 1
+        if b == 0:
+            raise KeyError(f"no blocks under 'layer{st}.' — not an "
+                           "R(2+1)D state_dict?")
+    if with_classifier and "fc.weight" in sd:
+        params["fc"] = {"kernel": np.asarray(sd["fc.weight"]).T,
+                        "bias": np.asarray(sd["fc.bias"])}
+    return params, stats
+
+
+def reference_resnet2p1d_shape_manifest(
+        depth: int, num_classes: Optional[int] = None) -> Dict[str, tuple]:
+    """Name -> shape manifest of a reference R(2+1)D state_dict
+    (resnet2p1d.py:139-285; parameter-matched mid widths :44-57,100-104)."""
+    from ..models.resnet2p1d import _mid
+
+    block_name, layers = _RESNET_LAYERS[depth]
+    exp = 1 if block_name == "basic" else 4
+    manifest: Dict[str, tuple] = {}
+
+    def conv(name, cout, cin, k):
+        manifest[name + ".weight"] = (cout, cin) + k
+
+    def bn(name, c):
+        for suffix in ("weight", "bias", "running_mean", "running_var"):
+            manifest[f"{name}.{suffix}"] = (c,)
+
+    stem_mid = _mid(3, 64, 7, 7)
+    conv("conv1_s", stem_mid, 3, (1, 7, 7))
+    bn("bn1_s", stem_mid)
+    conv("conv1_t", 64, stem_mid, (7, 1, 1))
+    bn("bn1_t", 64)
+    in_ch = 64
+    for st, (planes, n) in enumerate(zip((64, 128, 256, 512), layers), 1):
+        for b in range(n):
+            p = f"layer{st}.{b}"
+            if block_name == "basic":
+                m1 = _mid(in_ch, planes)
+                conv(f"{p}.conv1_s", m1, in_ch, (1, 3, 3))
+                bn(f"{p}.bn1_s", m1)
+                conv(f"{p}.conv1_t", planes, m1, (3, 1, 1))
+                bn(f"{p}.bn1_t", planes)
+                m2 = _mid(planes, planes)
+                conv(f"{p}.conv2_s", m2, planes, (1, 3, 3))
+                bn(f"{p}.bn2_s", m2)
+                conv(f"{p}.conv2_t", planes, m2, (3, 1, 1))
+                bn(f"{p}.bn2_t", planes)
+            else:
+                conv(f"{p}.conv1", planes, in_ch, (1, 1, 1))
+                bn(f"{p}.bn1", planes)
+                m2 = _mid(planes, planes)
+                conv(f"{p}.conv2_s", m2, planes, (1, 3, 3))
+                bn(f"{p}.bn2_s", m2)
+                conv(f"{p}.conv2_t", planes, m2, (3, 1, 1))
+                bn(f"{p}.bn2_t", planes)
+                conv(f"{p}.conv3", planes * 4, planes, (1, 1, 1))
+                bn(f"{p}.bn3", planes * 4)
+            stride = 2 if (b == 0 and st > 1) else 1
+            if b == 0 and (stride != 1 or in_ch != planes * exp):
+                conv(f"{p}.downsample.0", planes * exp, in_ch, (1, 1, 1))
+                bn(f"{p}.downsample.1", planes * exp)
+            in_ch = planes * exp
+    if num_classes:
+        manifest["fc.weight"] = (num_classes, 512 * exp)
+        manifest["fc.bias"] = (num_classes,)
+    return manifest
