@@ -398,3 +398,18 @@ def test_full_resnet2p1d_conversion_and_forward(depth, feat):
                                             dtype=jnp.float32)
     x = jnp.zeros((1, 8, 32, 32, 3), jnp.float32)
     _assert_convert_matches_template(m, params, stats, x, feat)
+
+
+@pytest.mark.parametrize("depth,feat", [(18, 512), (50, 2048)])
+def test_full_resnet_i3d_conversion_and_forward(depth, feat):
+    from video_graph_ssl_tpu.models import resnet3d as r3d
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_torch_resnet_i3d, reference_resnet_i3d_shape_manifest)
+
+    manifest = reference_resnet_i3d_shape_manifest(depth)
+    sd = _random_sd(manifest, seed=8)
+    params, stats = convert_torch_resnet_i3d(sd)
+    m = getattr(r3d, f"resnet_i3d_{depth}")(num_classes=None,
+                                            dtype=jnp.float32)
+    x = jnp.zeros((1, 8, 32, 32, 3), jnp.float32)
+    _assert_convert_matches_template(m, params, stats, x, feat)

@@ -400,6 +400,48 @@ _BACKENDS = {"s3d": run_s3d, "s3dg": run_s3dg, "i3d": run_i3d,
              "inception_v3": run_inception_v3}
 for _d in (10, 18, 34, 50, 101, 152, 200):
     _BACKENDS[f"resnet2p1d_{_d}"] = run_resnet2p1d(_d)
+
+
+def run_resnet_i3d(depth):
+    def run(sd, x, has_fc, n_cls):
+        import torch
+
+        mod = _load_ref_pkg_module(REF_DIR, "resnet_i3d.py",
+                                   "ref_backbone_3d_ri3d")
+        ref = getattr(mod, f"resnet{depth}")(num_classes=n_cls,
+                                             sample_duration=x.shape[1],
+                                             sample_size=x.shape[2])
+        missing, unexpected = ref.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+        unexpected = [k for k in unexpected
+                      if not k.endswith("num_batches_tracked")]
+        assert not unexpected, f"unconsumed checkpoint keys: {unexpected[:5]}"
+        ref.eval()
+        xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))  # NCDHW
+        with torch.no_grad():
+            out = ref.maxpool(ref.relu(ref.bn1(ref.conv1(xt))))
+            for l in (ref.layer1, ref.layer2, ref.layer3, ref.layer4):
+                out = l(out)
+            theirs = out.numpy().mean(axis=(2, 3, 4))
+
+        import jax.numpy as jnp
+        from video_graph_ssl_tpu.models import resnet3d as ours_mod
+        from video_graph_ssl_tpu.utils.torch_interop import \
+            convert_torch_resnet_i3d
+
+        params, stats = convert_torch_resnet_i3d(sd)
+        model = getattr(ours_mod, f"resnet_i3d_{depth}")(
+            num_classes=None, dtype=jnp.float32)
+        return model, params, stats, theirs, "features", x
+
+    return run
+
+
+# fbasic only: the fbottleneck converter maps weights but our block fixes
+# the reference's pre-add ReLU (documented deviation), so numeric
+# fidelity vs the executed reference is only defined for the basic family.
+for _d in (18, 34):
+    _BACKENDS[f"resnet_i3d_{_d}"] = run_resnet_i3d(_d)
 for _d in (10, 18, 34, 50, 101, 152, 200):
     _BACKENDS[f"resnet3d_{_d}"] = run_resnet3d(_d)
 for _d in (18, 34, 50, 101, 152):
@@ -416,6 +458,9 @@ def _manifest(backbone, num_classes):
         return ti.reference_bninception_shape_manifest(num_classes)
     if backbone == "inception_v3":
         return ti.reference_inception_v3_shape_manifest(num_classes)
+    if backbone.startswith("resnet_i3d"):
+        return ti.reference_resnet_i3d_shape_manifest(
+            int(backbone.rsplit("_", 1)[-1]))
     if backbone.startswith("resnet2p1d"):
         return ti.reference_resnet2p1d_shape_manifest(
             int(backbone.rsplit("_", 1)[-1]))

@@ -59,9 +59,14 @@ for _d in (10, 18, 34, 50, 101, 152, 200):
 for _d in (18, 34, 50, 101, 152):
     _BACKBONE_CONVERTERS[f"resnet{_d}"] = functools.partial(
         convert_torch_resnet, dims=2)
-from .torch_interop import convert_torch_resnet2p1d  # noqa: E402
+from .torch_interop import (  # noqa: E402
+    convert_torch_resnet2p1d,
+    convert_torch_resnet_i3d,
+)
 for _d in (10, 18, 34, 50, 101, 152, 200):
     _BACKBONE_CONVERTERS[f"resnet2p1d_{_d}"] = convert_torch_resnet2p1d
+for _d in (18, 34, 50, 101):
+    _BACKBONE_CONVERTERS[f"resnet_i3d_{_d}"] = convert_torch_resnet_i3d
 
 
 def _sub(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:

@@ -1037,3 +1037,124 @@ def reference_resnet2p1d_shape_manifest(
         manifest["fc.weight"] = (num_classes, 512 * exp)
         manifest["fc.bias"] = (num_classes,)
     return manifest
+
+
+# --------------------------------------------------------------------------- #
+# Factorized resnet_i3d — reference backbone_3d/resnet_i3d.py:141-249
+# --------------------------------------------------------------------------- #
+def convert_torch_resnet_i3d(
+    sd: Dict[str, np.ndarray],
+    with_classifier: bool = False,
+) -> Tuple[dict, dict]:
+    """Reference factorized-ResNet3D state_dict -> (params, batch_stats)
+    for models.resnet3d.ResNet3D(block='fbasic'/'fbottleneck').
+
+    fbasic (conv{i}_1/bn{i}_1 spatial + conv{i}_2/bn{i}_2 temporal,
+    resnet_i3d.py:56-97) converts with exact eval fidelity.  fbottleneck
+    weights also map cleanly (BasicSTConv3d's conv2.conv1/conv2.conv2 +
+    the outer conv3 whose BN the reference misnames ``bn2``,
+    :99-138) — but our block FIXES the reference's pre-residual-add ReLU
+    (it applies relu(bn2(conv3)) BEFORE the add, killing the identity
+    path's negative values), so converted fbottleneck activations
+    deviate at exactly that documented bugfix site."""
+    perm = (2, 3, 4, 1, 0)
+
+    def convw(name):
+        return {"kernel": np.transpose(np.asarray(sd[name + ".weight"]),
+                                       perm)}
+
+    def bn(name):
+        p = {"bn": {"scale": np.asarray(sd[name + ".weight"]),
+                    "bias": np.asarray(sd[name + ".bias"])}}
+        s = {"bn": {"mean": np.asarray(sd[name + ".running_mean"]),
+                    "var": np.asarray(sd[name + ".running_var"])}}
+        return p, s
+
+    params: dict = {"conv1": convw("conv1")}
+    stats: dict = {}
+    params["bn1"], stats["bn1"] = bn("bn1")
+    bottleneck = "layer1.0.conv3.weight" in sd
+    for st in (1, 2, 3, 4):
+        b = 0
+        while (f"layer{st}.{b}.conv1_1.weight" in sd
+               or f"layer{st}.{b}.conv1.weight" in sd):
+            prefix = f"layer{st}.{b}"
+            bp: dict = {}
+            bs: dict = {}
+            if bottleneck:
+                bp["conv1"] = convw(f"{prefix}.conv1")
+                bp["bn1"], bs["bn1"] = bn(f"{prefix}.bn1")
+                bp["conv2_s"] = convw(f"{prefix}.conv2.conv1")
+                bp["bn2_s"], bs["bn2_s"] = bn(f"{prefix}.conv2.bn1")
+                bp["conv2_t"] = convw(f"{prefix}.conv2.conv2")
+                bp["bn2_t"], bs["bn2_t"] = bn(f"{prefix}.conv2.bn2")
+                bp["conv3"] = convw(f"{prefix}.conv3")
+                bp["bn3"], bs["bn3"] = bn(f"{prefix}.bn2")
+            else:
+                for i in (1, 2):
+                    bp[f"conv{i}_s"] = convw(f"{prefix}.conv{i}_1")
+                    bp[f"conv{i}_s_bn"], bs[f"conv{i}_s_bn"] = \
+                        bn(f"{prefix}.bn{i}_1")
+                    bp[f"conv{i}_t"] = convw(f"{prefix}.conv{i}_2")
+                    bp[f"conv{i}_t_bn"], bs[f"conv{i}_t_bn"] = \
+                        bn(f"{prefix}.bn{i}_2")
+            if f"{prefix}.downsample.0.weight" in sd:
+                bp["ds_conv"] = convw(f"{prefix}.downsample.0")
+                bp["ds_bn"], bs["ds_bn"] = bn(f"{prefix}.downsample.1")
+            params[f"layer{st}_{b}"], stats[f"layer{st}_{b}"] = bp, bs
+            b += 1
+        if b == 0:
+            raise KeyError(f"no blocks under 'layer{st}.' — not a "
+                           "resnet_i3d state_dict?")
+    if with_classifier and "fc.weight" in sd:
+        params["fc"] = {"kernel": np.asarray(sd["fc.weight"]).T,
+                        "bias": np.asarray(sd["fc.bias"])}
+    return params, stats
+
+
+def reference_resnet_i3d_shape_manifest(
+        depth: int, num_classes: Optional[int] = None) -> Dict[str, tuple]:
+    """Name -> shape manifest of a reference resnet_i3d state_dict
+    (resnet_i3d.py:141-249)."""
+    block_name, layers = _RESNET_LAYERS[depth]
+    exp = 1 if block_name == "basic" else 4
+    manifest: Dict[str, tuple] = {}
+
+    def conv(name, cout, cin, k):
+        manifest[name + ".weight"] = (cout, cin) + k
+
+    def bn(name, c):
+        for suffix in ("weight", "bias", "running_mean", "running_var"):
+            manifest[f"{name}.{suffix}"] = (c,)
+
+    conv("conv1", 64, 3, (7, 7, 7))
+    bn("bn1", 64)
+    in_ch = 64
+    for st, (planes, n) in enumerate(zip((64, 128, 256, 512), layers), 1):
+        for b in range(n):
+            p = f"layer{st}.{b}"
+            if block_name == "basic":
+                for i in (1, 2):
+                    cin = in_ch if i == 1 else planes
+                    conv(f"{p}.conv{i}_1", planes, cin, (1, 3, 3))
+                    bn(f"{p}.bn{i}_1", planes)
+                    conv(f"{p}.conv{i}_2", planes, planes, (3, 1, 1))
+                    bn(f"{p}.bn{i}_2", planes)
+            else:
+                conv(f"{p}.conv1", planes, in_ch, (1, 1, 1))
+                bn(f"{p}.bn1", planes)
+                conv(f"{p}.conv2.conv1", planes, planes, (1, 3, 3))
+                bn(f"{p}.conv2.bn1", planes)
+                conv(f"{p}.conv2.conv2", planes, planes, (3, 1, 1))
+                bn(f"{p}.conv2.bn2", planes)
+                conv(f"{p}.conv3", planes * 4, planes, (1, 1, 1))
+                bn(f"{p}.bn2", planes * 4)
+            stride = 2 if (b == 0 and st > 1) else 1
+            if b == 0 and (stride != 1 or in_ch != planes * exp):
+                conv(f"{p}.downsample.0", planes * exp, in_ch, (1, 1, 1))
+                bn(f"{p}.downsample.1", planes * exp)
+            in_ch = planes * exp
+    if num_classes:
+        manifest["fc.weight"] = (num_classes, 512 * exp)
+        manifest["fc.bias"] = (num_classes,)
+    return manifest
