@@ -11,6 +11,25 @@ at half channels, softmax(θᵀφ) attention over all T·H·W positions, output
 projection with BN initialized so the block starts as identity
 (reference: _NonLocalBlockND, i3dnon.py:248-409).  On TPU it is three
 batched matmuls on the MXU.
+
+Two severe reference latent bugs are fixed to intended behavior here
+(per the project convention for dead-but-informative reference code):
+
+1. ``nonlocalnet`` constructs a FRESH ``NONLocalBlock3D`` — new random
+   θ/φ/g weights — at every forward call (i3dnon.py:42,437-446); the
+   non-local parameters are never registered, never trained, and never
+   checkpointed.  Because the fresh block's output BN is zero-init, the
+   reference's non-local insertion is mathematically an identity on
+   every call.  Ours is a registered, trainable submodule (``nonlocal``).
+2. ``_make_layer_inflat`` dispatches on ``blocks in (3, 4, 23)`` only
+   (i3dnon.py:81-112); the resnet50 config's 6-block layer3 matches no
+   branch, silently building ONE block instead of six.  Ours builds the
+   full stack with the same kernel alternation.
+
+Consequence: no torch converter is provided for this backbone — a
+reference checkpoint contains neither the non-local weights (bug 1) nor
+5 of layer3's 6 blocks (bug 2), so checkpoint-level fidelity against
+the executed reference is undefined by construction.
 """
 
 from __future__ import annotations
