@@ -413,3 +413,30 @@ def test_full_resnet_i3d_conversion_and_forward(depth, feat):
                                             dtype=jnp.float32)
     x = jnp.zeros((1, 8, 32, 32, 3), jnp.float32)
     _assert_convert_matches_template(m, params, stats, x, feat)
+
+
+def test_s3dg_text_conversion_and_forward():
+    """MIL-NCE-named text-video S3D: converted tree grafts into the model
+    and both towers run (numeric fidelity vs the executed reference:
+    tools/fidelity_check.py --backbone s3dg_text, rel_l2 3.5e-7 08-19)."""
+    from video_graph_ssl_tpu.models.s3dg_text import S3DGText
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_torch_s3dg_text, reference_s3dg_text_shape_manifest)
+
+    manifest = reference_s3dg_text_shape_manifest(embd_dim=32,
+                                                  num_embeddings=64)
+    sd = _random_sd(manifest, seed=9)
+    params, stats = convert_torch_s3dg_text(sd)
+    m = S3DGText(embd_dim=32, num_text_embeddings=64, dtype=jnp.float32)
+    x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    ref_vars = jax.jit(lambda x, i: m.init({"params": jax.random.key(0)},
+                                           x, i, train=False))(x, ids)
+    ref_p = jax.tree_util.tree_structure(ref_vars["params"])
+    got_p = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(jnp.asarray, params))
+    assert ref_p == got_p, f"param tree mismatch:\n{ref_p}\nvs\n{got_p}"
+    out = jax.jit(lambda v, x, i: m.apply(v, x, i, train=False))(
+        {"params": params, "batch_stats": stats}, x, ids)
+    assert out["video_embedding"].shape == (1, 32)
+    assert out["text_embedding"].shape == (1, 32)

@@ -437,6 +437,60 @@ def run_resnet_i3d(depth):
     return run
 
 
+def run_s3dg_text(sd, x, has_fc, n_cls):
+    """Text-video S3D (MIL-NCE naming): checks the video tower AND the
+    text tower in one comparison (rows = [video embeddings; text
+    embeddings of two fixed sentences])."""
+    import tempfile
+
+    import torch
+
+    vocab = ["hello", "world", "video", "graph", "contrastive", "tpu"]
+    dict_path = os.path.join(tempfile.mkdtemp(), "dict.npy")
+    np.save(dict_path, np.array(vocab))
+    sentences = ["hello world video", "graph contrastive tpu hello"]
+
+    mod = _load_ref_pkg_module(REF_DIR, "s3dg.py", "ref_backbone_3d_s3dgt")
+    embd = sd["fc.weight"].shape[0]
+    ref = mod.S3D(dict_path, num_classes=embd, gating=True,
+                  space_to_depth=True)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+    unexpected = [k for k in unexpected
+                  if not k.endswith("num_batches_tracked")]
+    assert not unexpected, f"unconsumed checkpoint keys: {unexpected[:5]}"
+    ref.eval()
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))  # NCDHW
+    with torch.no_grad():
+        v_ref = ref(xt)["video_embedding"].numpy()
+        t_ref = ref.text_module(sentences)["text_embedding"].numpy()
+    theirs = np.concatenate([v_ref, t_ref], axis=0)
+
+    import jax.numpy as jnp
+    from video_graph_ssl_tpu.models.s3dg_text import (S3DGText,
+                                                      build_word_to_token,
+                                                      tokenize)
+    from video_graph_ssl_tpu.utils.torch_interop import \
+        convert_torch_s3dg_text
+
+    params, stats = convert_torch_s3dg_text(sd)
+    n_emb = sd["text_module.word_embd.weight"].shape[0]
+    model = S3DGText(embd_dim=embd, num_text_embeddings=n_emb,
+                     dtype=jnp.float32)
+    ids = jnp.asarray(tokenize(sentences, build_word_to_token(vocab)))
+
+    class Shim:
+        def apply(self, variables, video, train=False):
+            out = model.apply(variables, video, ids, train=train)
+            return jnp.concatenate(
+                [out["video_embedding"], out["text_embedding"]], axis=0)
+
+    return Shim(), params, stats, theirs, "video+text embeddings", x
+
+
+_BACKENDS["s3dg_text"] = run_s3dg_text
+
+
 # fbasic only: the fbottleneck converter maps weights but our block fixes
 # the reference's pre-add ReLU (documented deviation), so numeric
 # fidelity vs the executed reference is only defined for the basic family.
@@ -454,6 +508,9 @@ def _manifest(backbone, num_classes):
         return ti.reference_s3d_shape_manifest(num_classes)
     if backbone == "s3dg":
         return ti.reference_s3dg_shape_manifest(None)
+    if backbone == "s3dg_text":
+        # the reference Sentence_Embedding hardcodes 66250 embeddings
+        return ti.reference_s3dg_text_shape_manifest()
     if backbone == "bninception":
         return ti.reference_bninception_shape_manifest(num_classes)
     if backbone == "inception_v3":

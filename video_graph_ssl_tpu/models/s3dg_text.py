@@ -16,13 +16,15 @@ stem conv into an MXU-friendly 24-channel one.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional, Sequence
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .i3d import Unit3D, _same_max_pool
+from .i3d import _same_max_pool
+from .layers import max_pool_3d
 from .s3d import _MIXED_SPECS
 
 Dtype = Any
@@ -67,12 +69,12 @@ class SentenceEmbedding(nn.Module):
         emb = nn.Embed(self.num_embeddings, self.word_embedding_dim,
                        name="word_embd")(token_ids)
         h = nn.relu(nn.Dense(self.output_dim, name="fc1")(emb))
-        # masked max over words (padding token 0 embeds arbitrarily; the
-        # reference relies on ReLU(fc1(embed(0))) — we mask explicitly)
-        mask = (token_ids > 0)[..., None]
-        h = jnp.where(mask, h, -jnp.inf)
+        # max over words INCLUDING the zero-padding token's
+        # ReLU(fc1(embed(0))) — exactly the reference (s3dg.py:230-233).
+        # This is a real semantic (the MIL-NCE weights are trained with
+        # the pad embedding competing in the max), not a latent bug, so
+        # no masking: converted checkpoints must reproduce it.
         h = jnp.max(h, axis=1)
-        h = jnp.where(jnp.isfinite(h), h, 0.0)
         return nn.Dense(self.embd_dim, name="fc2")(h)
 
 
@@ -93,6 +95,78 @@ def tokenize(sentences: List[str], word_to_token: Dict[str, int],
         ids = ids[:max_words]
         out[i, :len(ids)] = ids
     return out
+
+
+class STConv(nn.Module):
+    """STConv3D (reference s3dg.py:91-150): conv + BN + ReLU; separable
+    runs spatial (1,k,k) then temporal (k,1,1), EACH with its own BN+ReLU,
+    child names conv1/bn1(/conv2/bn2) mirroring the torch fields.  BN uses
+    the torch defaults this file relies on (eps 1e-5, momentum 0.1 → flax
+    0.9), unlike s3d_1.py's eps 1e-3."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (0, 0, 0)
+    separable: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       param_dtype=self.param_dtype)
+        bn = partial(nn.BatchNorm, use_running_average=not train,
+                     momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                     param_dtype=self.param_dtype)
+        kt, kh, kw_ = self.kernel
+        st, sh, sw = self.stride
+        pt, ph, pw = self.padding
+        if self.separable and kt != 1:
+            x = conv(self.features, (1, kh, kw_), (1, sh, sw),
+                     [(0, 0), (ph, ph), (pw, pw)], name="conv1")(x)
+            x = nn.relu(bn(name="bn1")(x).astype(self.dtype))
+            x = conv(self.features, (kt, 1, 1), (st, 1, 1),
+                     [(pt, pt), (0, 0), (0, 0)], name="conv2")(x)
+            return nn.relu(bn(name="bn2")(x).astype(self.dtype))
+        x = conv(self.features, self.kernel, self.stride,
+                 [(pt, pt), (ph, ph), (pw, pw)], name="conv1")(x)
+        return nn.relu(bn(name="bn1")(x).astype(self.dtype))
+
+
+class TextInceptionBlock(nn.Module):
+    """Reference InceptionBlock (s3dg.py:25-75): 1x1x1 / 1x1x1→sep-3³ /
+    1x1x1→sep-3³ / maxpool→1x1x1 branches, each followed by its own
+    SelfGating when ``gating`` (the reference DEFAULT — constructed
+    without the arg at :262-293)."""
+
+    b0: int
+    b1: Tuple[int, int]
+    b2: Tuple[int, int]
+    b3: int
+    gating: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype)
+        x0 = STConv(self.b0, (1, 1, 1), name="conv_b0", **kw)(x, train)
+        x1 = STConv(self.b1[0], (1, 1, 1), name="conv_b1_a", **kw)(x, train)
+        x1 = STConv(self.b1[1], (3, 3, 3), padding=(1, 1, 1), separable=True,
+                    name="conv_b1_b", **kw)(x1, train)
+        x2 = STConv(self.b2[0], (1, 1, 1), name="conv_b2_a", **kw)(x, train)
+        x2 = STConv(self.b2[1], (3, 3, 3), padding=(1, 1, 1), separable=True,
+                    name="conv_b2_b", **kw)(x2, train)
+        # branch pool: plain torch MaxPool3d(3, 1, padding=1) (:47), NOT
+        # the TF-SAME stage pools
+        x3 = max_pool_3d(x, 3, 1, 1)
+        x3 = STConv(self.b3, (1, 1, 1), name="conv_b3_b", **kw)(x3, train)
+        if self.gating:
+            x0 = SelfGating(dtype=self.dtype, name="gating_b0")(x0)
+            x1 = SelfGating(dtype=self.dtype, name="gating_b1")(x1)
+            x2 = SelfGating(dtype=self.dtype, name="gating_b2")(x2)
+            x3 = SelfGating(dtype=self.dtype, name="gating_b3")(x3)
+        return jnp.concatenate([x0, x1, x2, x3], axis=-1)
 
 
 class S3DGText(nn.Module):
@@ -120,36 +194,35 @@ class S3DGText(nn.Module):
 
     @nn.compact_name_scope
     def encode_video(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype)
         x = x.astype(self.dtype)
         if self.space_to_depth:
             x = space_to_depth_3d(x)
-            x = Unit3D(64, (2, 4, 4), (1, 1, 1), name="conv1")(x, train)
+            x = STConv(64, (2, 4, 4), (1, 1, 1), (1, 2, 2),
+                       name="conv1", **kw)(x, train)
             # replicate the reference's SAME-padding correction (:312-315)
             x = x[:, 1:, 1:, 1:, :]
         else:
-            x = Unit3D(64, (3, 7, 7), (2, 2, 2), name="conv1")(x, train)
+            x = STConv(64, (3, 7, 7), (2, 2, 2), (1, 3, 3),
+                       name="conv1", **kw)(x, train)
         x = _same_max_pool(x, (1, 3, 3), (1, 2, 2))
-        x = Unit3D(64, (1, 1, 1), name="conv_2b")(x, train)
-        x = Unit3D(192, (3, 3, 3), name="conv_2c")(x, train)
+        x = STConv(64, (1, 1, 1), name="conv_2b", **kw)(x, train)
+        x = STConv(192, (3, 3, 3), padding=(1, 1, 1), separable=True,
+                   name="conv_2c", **kw)(x, train)
         if self.gating:
             x = SelfGating(dtype=self.dtype, name="gating")(x)
         x = _same_max_pool(x, (1, 3, 3), (1, 2, 2))
 
-        from .i3d import I3DMixed
-
-        # stage sequence with pools (reference :256-293)
-        x = I3DMixed(*_MIXED_SPECS["mixed_3b"], name="mixed_3b",
-                     dtype=self.dtype)(x, train)
-        x = I3DMixed(*_MIXED_SPECS["mixed_3c"], name="mixed_3c",
-                     dtype=self.dtype)(x, train)
+        # stage sequence with pools (reference :256-293); every block
+        # carries per-branch SelfGating (InceptionBlock's gating DEFAULT)
+        blk = partial(TextInceptionBlock, gating=self.gating, **kw)
+        x = blk(*_MIXED_SPECS["mixed_3b"], name="mixed_3b")(x, train)
+        x = blk(*_MIXED_SPECS["mixed_3c"], name="mixed_3c")(x, train)
         x = _same_max_pool(x, (3, 3, 3), (2, 2, 2))
         for nm in ("mixed_4b", "mixed_4c", "mixed_4d", "mixed_4e", "mixed_4f"):
-            x = I3DMixed(*_MIXED_SPECS[nm], name=nm, dtype=self.dtype)(x, train)
+            x = blk(*_MIXED_SPECS[nm], name=nm)(x, train)
         x = _same_max_pool(x, (2, 2, 2), (2, 2, 2))
-        x = I3DMixed(*_MIXED_SPECS["mixed_5b"], name="mixed_5b",
-                     dtype=self.dtype)(x, train)
-        x = I3DMixed(*_MIXED_SPECS["mixed_5c"], name="mixed_5c",
-                     dtype=self.dtype)(x, train)
+        x = blk(*_MIXED_SPECS["mixed_5b"], name="mixed_5b")(x, train)
+        x = blk(*_MIXED_SPECS["mixed_5c"], name="mixed_5c")(x, train)
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
         return nn.Dense(self.embd_dim, dtype=jnp.float32, name="fc")(feat)

@@ -1158,3 +1158,132 @@ def reference_resnet_i3d_shape_manifest(
         manifest["fc.weight"] = (num_classes, 512 * exp)
         manifest["fc.bias"] = (num_classes,)
     return manifest
+
+
+# --------------------------------------------------------------------------- #
+# Text-video S3D-G (MIL-NCE naming) — reference backbone_3d/s3dg.py:238-331
+# --------------------------------------------------------------------------- #
+def _stconv_text(sd, prefix: str, separable: bool) -> Tuple[dict, dict]:
+    """Reference STConv3D (s3dg.py:91-150) -> our s3dg_text.STConv tree
+    (child names conv1/bn1[/conv2/bn2] mirror the torch fields)."""
+    p: dict = {"conv1": {"kernel": _conv(sd, prefix + ".conv1.weight")}}
+    s: dict = {}
+    p["bn1"] = {"scale": np.asarray(sd[prefix + ".bn1.weight"]),
+                "bias": np.asarray(sd[prefix + ".bn1.bias"])}
+    s["bn1"] = {"mean": np.asarray(sd[prefix + ".bn1.running_mean"]),
+                "var": np.asarray(sd[prefix + ".bn1.running_var"])}
+    if separable:
+        p["conv2"] = {"kernel": _conv(sd, prefix + ".conv2.weight")}
+        p["bn2"] = {"scale": np.asarray(sd[prefix + ".bn2.weight"]),
+                    "bias": np.asarray(sd[prefix + ".bn2.bias"])}
+        s["bn2"] = {"mean": np.asarray(sd[prefix + ".bn2.running_mean"]),
+                    "var": np.asarray(sd[prefix + ".bn2.running_var"])}
+    return p, s
+
+
+def _gating_fc(sd, prefix: str) -> dict:
+    return {"fc": {"kernel": np.asarray(sd[prefix + ".fc.weight"]).T,
+                   "bias": np.asarray(sd[prefix + ".fc.bias"])}}
+
+
+_S3DG_TEXT_MIXED = ("mixed_3b", "mixed_3c", "mixed_4b", "mixed_4c",
+                    "mixed_4d", "mixed_4e", "mixed_4f", "mixed_5b",
+                    "mixed_5c")
+
+
+def convert_torch_s3dg_text(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """Reference text-video S3D state_dict (the MIL-NCE naming — the
+    public ``s3d_howto100m.pth`` checkpoint uses exactly these keys) ->
+    (params, batch_stats) for models.s3dg_text.S3DGText.
+
+    Handles both stem variants (space_to_depth (2,4,4) 24-channel and the
+    standard (3,7,7) 3-channel — distinguished by conv1 kernel shape) and
+    converts the text tower (word_embd/fc1/fc2)."""
+    enc_p: dict = {}
+    enc_s: dict = {}
+    enc_p["conv1"], enc_s["conv1"] = _stconv_text(sd, "conv1", False)
+    enc_p["conv_2b"], enc_s["conv_2b"] = _stconv_text(sd, "conv_2b", False)
+    enc_p["conv_2c"], enc_s["conv_2c"] = _stconv_text(sd, "conv_2c", True)
+    if "gating.fc.weight" in sd:
+        enc_p["gating"] = _gating_fc(sd, "gating")
+    for blk in _S3DG_TEXT_MIXED:
+        bp: dict = {}
+        bs: dict = {}
+        for branch, sep in (("conv_b0", False), ("conv_b1_a", False),
+                            ("conv_b1_b", True), ("conv_b2_a", False),
+                            ("conv_b2_b", True), ("conv_b3_b", False)):
+            bp[branch], bs[branch] = _stconv_text(sd, f"{blk}.{branch}", sep)
+        for g in ("gating_b0", "gating_b1", "gating_b2", "gating_b3"):
+            if f"{blk}.{g}.fc.weight" in sd:
+                bp[g] = _gating_fc(sd, f"{blk}.{g}")
+        enc_p[blk], enc_s[blk] = bp, bs
+    enc_p["fc"] = {"kernel": np.asarray(sd["fc.weight"]).T,
+                   "bias": np.asarray(sd["fc.bias"])}
+    params = {"encode_video": enc_p}
+    stats = {"encode_video": enc_s}
+    if "text_module.word_embd.weight" in sd:
+        params["text_module"] = {
+            "word_embd": {"embedding":
+                          np.asarray(sd["text_module.word_embd.weight"])},
+            "fc1": {"kernel": np.asarray(sd["text_module.fc1.weight"]).T,
+                    "bias": np.asarray(sd["text_module.fc1.bias"])},
+            "fc2": {"kernel": np.asarray(sd["text_module.fc2.weight"]).T,
+                    "bias": np.asarray(sd["text_module.fc2.bias"])},
+        }
+    return params, stats
+
+
+def reference_s3dg_text_shape_manifest(
+        embd_dim: int = 512, space_to_depth: bool = True,
+        num_embeddings: int = 66250) -> Dict[str, tuple]:
+    """Name -> shape manifest of a reference text-S3D state_dict
+    (s3dg.py:238-331; channel plan shared with s3d_1.py)."""
+    from ..models.s3d import _MIXED_SPECS
+
+    manifest: Dict[str, tuple] = {}
+
+    def stconv(base, cin, cout, k, separable):
+        if separable:
+            manifest[base + ".conv1.weight"] = (cout, cin, 1, k, k)
+            manifest[base + ".conv2.weight"] = (cout, cout, k, 1, 1)
+            bns = ("bn1", "bn2")
+        else:
+            kk = k if isinstance(k, tuple) else (k, k, k)
+            manifest[base + ".conv1.weight"] = (cout, cin) + kk
+            bns = ("bn1",)
+        for bn in bns:
+            for suffix in ("weight", "bias", "running_mean", "running_var"):
+                manifest[f"{base}.{bn}.{suffix}"] = (cout,)
+
+    def gating(base, c):
+        manifest[base + ".fc.weight"] = (c, c)
+        manifest[base + ".fc.bias"] = (c,)
+
+    if space_to_depth:
+        stconv("conv1", 24, 64, (2, 4, 4), False)
+    else:
+        stconv("conv1", 3, 64, (3, 7, 7), False)
+    stconv("conv_2b", 64, 64, (1, 1, 1), False)
+    stconv("conv_2c", 64, 192, 3, True)
+    gating("gating", 192)
+    in_ch = 192
+    for blk in _S3DG_TEXT_MIXED:
+        b0, (b1r, b1), (b2r, b2), b3 = _MIXED_SPECS[blk]
+        stconv(f"{blk}.conv_b0", in_ch, b0, (1, 1, 1), False)
+        stconv(f"{blk}.conv_b1_a", in_ch, b1r, (1, 1, 1), False)
+        stconv(f"{blk}.conv_b1_b", b1r, b1, 3, True)
+        stconv(f"{blk}.conv_b2_a", in_ch, b2r, (1, 1, 1), False)
+        stconv(f"{blk}.conv_b2_b", b2r, b2, 3, True)
+        stconv(f"{blk}.conv_b3_b", in_ch, b3, (1, 1, 1), False)
+        for g, c in (("gating_b0", b0), ("gating_b1", b1),
+                     ("gating_b2", b2), ("gating_b3", b3)):
+            gating(f"{blk}.{g}", c)
+        in_ch = b0 + b1 + b2 + b3
+    manifest["fc.weight"] = (embd_dim, 1024)
+    manifest["fc.bias"] = (embd_dim,)
+    manifest["text_module.word_embd.weight"] = (num_embeddings, 300)
+    manifest["text_module.fc1.weight"] = (2048, 300)
+    manifest["text_module.fc1.bias"] = (2048,)
+    manifest["text_module.fc2.weight"] = (embd_dim, 2048)
+    manifest["text_module.fc2.bias"] = (embd_dim,)
+    return manifest
