@@ -119,8 +119,9 @@ def test_proj_head_numpy_parity():
     h = np.maximum(x @ sd["head.0.weight"].T + sd["head.0.bias"], 0.0)
     ref = h @ sd["head.2.weight"].T + sd["head.2.bias"]
     ref = ref / np.maximum(np.linalg.norm(ref, axis=-1, keepdims=True), 1e-12)
-    ours = jax.jit(lambda p, x: ProjectHead(feat_dim=6).apply(
-        {"params": p}, x))(params, x)
+    with jax.default_matmul_precision("highest"):  # fp32 parity on TPU
+        ours = jax.jit(lambda p, x: ProjectHead(feat_dim=6).apply(
+            {"params": p}, x))(params, x)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)
 
 
@@ -161,15 +162,18 @@ def test_simsiam_mlp_numpy_parity():
     ref = np_lin_bn("l3", ref, proj_sd, False)
 
     pp, ps = convert_projection_mlp(proj_sd)
-    ours = jax.jit(lambda v, x: ProjectionMLP(hid_dim=h, out_dim=h).apply(
-        v, x, train=False))({"params": pp, "batch_stats": ps}, x)
+    with jax.default_matmul_precision("highest"):  # fp32 parity on TPU
+        ours = jax.jit(lambda v, x: ProjectionMLP(hid_dim=h, out_dim=h).apply(
+            v, x, train=False))({"params": pp, "batch_stats": ps}, x)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)
 
     ref2 = np_lin_bn("l1", ref, pred_sd, True)
     ref2 = ref2 @ pred_sd["l2.weight"].T + pred_sd["l2.bias"]
     qp, qs = convert_prediction_mlp(pred_sd)
-    ours2 = jax.jit(lambda v, x: PredictionMLP(hid_dim=h // 2, out_dim=h).apply(
-        v, x, train=False))({"params": qp, "batch_stats": qs}, ref)
+    with jax.default_matmul_precision("highest"):  # fp32 parity on TPU
+        ours2 = jax.jit(lambda v, x: PredictionMLP(
+            hid_dim=h // 2, out_dim=h).apply(
+            v, x, train=False))({"params": qp, "batch_stats": qs}, ref)
     np.testing.assert_allclose(np.asarray(ours2), ref2, rtol=1e-5, atol=1e-5)
 
 
@@ -390,9 +394,10 @@ def test_resnet2d_conv_perm_matches_torch():
     with torch.no_grad():
         ref = torch.nn.functional.conv2d(
             torch.from_numpy(x), torch.from_numpy(w), padding=1).numpy()
-    ours = jax.jit(lambda x, k: jax.lax.conv_general_dilated(
-        x, k, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC")))(
+    with jax.default_matmul_precision("highest"):  # fp32 parity on TPU
+        ours = jax.jit(lambda x, k: jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))(
             jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
             jnp.asarray(np.transpose(w, (2, 3, 1, 0))))
     np.testing.assert_allclose(np.transpose(np.asarray(ours), (0, 3, 1, 2)),

@@ -37,6 +37,7 @@ from video_graph_ssl_tpu.parallel import (
     maybe_initialize_distributed,
     mesh_from_cfg,
     pad_batch_to_multiple,
+    process_batch_slice,
     replicate_state,
     shard_batch,
 )
@@ -68,10 +69,17 @@ class Trainer:
         self.args = args
         maybe_initialize_distributed()
         self.mesh = mesh_from_cfg(config)
+        # Multi-host: train loader decodes only this process's batch rows;
+        # validation keeps full host batches (ragged tails) and lets
+        # shard_batch slice them.
+        self.batch_slice = (
+            process_batch_slice(int(config.DATALOADER.BATCH_SIZE), self.mesh)
+            if jax.process_count() > 1 else None)
 
         self.saver, self.writer = creat_saver(config)
         self.model, self.feat_dim = create_video_model(config)
-        self.train_loader = make_data_loader(config, is_train=True)
+        self.train_loader = make_data_loader(config, is_train=True,
+                                             batch_slice=self.batch_slice)
         self.val_loader = make_data_loader(config, is_train=False)
         self.lr_fn = make_lr_scheduler(config)
 
@@ -134,7 +142,8 @@ class Trainer:
         end = time.time()
         for i, batch in enumerate(self.train_loader.epoch(epoch)):
             self.meters["data_time"].update(time.time() - end)
-            batch = shard_batch(batch, self.mesh)
+            batch = shard_batch(batch, self.mesh,
+                                local=self.batch_slice is not None)
             self.state, metrics = self.step_fn(self.state, batch, lr)
             if i % print_freq == 0 or i == num_img_tr - 1:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -38,6 +38,7 @@ from video_graph_ssl_tpu.models import create_visual_model
 from video_graph_ssl_tpu.parallel import (
     maybe_initialize_distributed,
     mesh_from_cfg,
+    process_batch_slice,
     replicate_state,
     shard_batch,
 )
@@ -79,10 +80,16 @@ class Trainer:
         self.args = args
         maybe_initialize_distributed()
         self.mesh = mesh_from_cfg(config)
+        # Multi-host: each process decodes only its rows of the global batch
+        # (the reference's DistributedSampler role, lib/data/build.py:49).
+        self.batch_slice = (
+            process_batch_slice(int(config.DATALOADER.BATCH_SIZE), self.mesh)
+            if jax.process_count() > 1 else None)
 
         self.saver, self.writer = creat_saver(config)
         self.model, self.feat_dim = create_visual_model(config)
-        self.train_loader, self.n_data = build_video_contrastive_loader(config)
+        self.train_loader, self.n_data = build_video_contrastive_loader(
+            config, batch_slice=self.batch_slice)
         self.lr_fn = make_lr_scheduler(config)
 
         # Init on a tiny slice of a real host batch (shapes only).
@@ -205,7 +212,8 @@ class Trainer:
             self.data_time.update(time.time() - end)
             if profiling and i == 5:
                 jax.profiler.start_trace(self.args.profile_dir)
-            batch = shard_batch(batch, self.mesh)
+            batch = shard_batch(batch, self.mesh,
+                                local=self.batch_slice is not None)
             self.state, metrics = self.step_fn(self.state, batch, lr)
             if profiling and i == 10:
                 jax.block_until_ready(metrics["loss"])

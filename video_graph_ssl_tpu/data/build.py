@@ -39,9 +39,11 @@ def resolve_new_length(cfg) -> int:
     return nl
 
 
-def build_video_contrastive_loader(cfg) -> Tuple[Loader, int]:
+def build_video_contrastive_loader(cfg, batch_slice=None) -> Tuple[Loader, int]:
     """SSL pretrain loader; returns (loader, n_data)
-    (reference: lib/data/build.py:35-54)."""
+    (reference: lib/data/build.py:35-54).  ``batch_slice``: this process's
+    rows of each global batch on multi-host slices
+    (``parallel.process_batch_slice``) — the DistributedSampler role."""
     if cfg.DATASET.SOURCE == "synthetic":
         ds = SyntheticContrastiveDataset(
             n_data=int(cfg.DATASET.NUM_CLASS) * 4,
@@ -72,12 +74,15 @@ def build_video_contrastive_loader(cfg) -> Tuple[Loader, int]:
         num_workers=int(cfg.DATALOADER.NUM_WORKERS),
         seed=int(cfg.MODEL.SEED),
         prefetch=int(cfg.TPU.PREFETCH),
+        batch_slice=batch_slice,
     )
     return loader, len(ds)
 
 
-def make_data_loader(cfg, is_train: bool = True) -> Loader:
-    """Downstream train/val loader (reference: lib/data/build.py:7-33)."""
+def make_data_loader(cfg, is_train: bool = True, batch_slice=None) -> Loader:
+    """Downstream train/val loader (reference: lib/data/build.py:7-33).
+    ``batch_slice`` applies to the train loader only (drop_last batches);
+    multi-host validation shards full batches via ``shard_batch``."""
     if cfg.DATASET.SOURCE == "synthetic":
         ds = SyntheticFrameDataset(
             n_data=int(cfg.DATASET.NUM_CLASS) * 4,
@@ -111,6 +116,7 @@ def make_data_loader(cfg, is_train: bool = True) -> Loader:
         num_workers=int(cfg.DATALOADER.NUM_WORKERS),
         seed=int(cfg.MODEL.SEED),
         prefetch=int(cfg.TPU.PREFETCH),
+        batch_slice=batch_slice if is_train else None,
     )
 
 

@@ -2,9 +2,13 @@
 
 Replaces torch ``DataLoader`` + ``DistributedSampler``
 (lib/data/build.py:35-54) with a single-controller loader: ONE global batch
-per step (the mesh shards it; there is no per-process loader split), a
-thread pool for the IO/decode-bound item fetch, and a bounded prefetch
-queue that overlaps host decode with device compute.
+per step (the mesh shards it), a thread pool for the IO/decode-bound item
+fetch, and a bounded prefetch queue that overlaps host decode with device
+compute.  On multi-host slices, ``batch_slice=(lo, hi)`` (from
+``parallel.process_batch_slice``) restricts each process to its own rows of
+every global batch — the ``DistributedSampler`` role — while the epoch
+shuffle and per-item rngs stay keyed on GLOBAL indices, so the union of all
+processes' rows is bit-identical to the single-host batch stream.
 
 Determinism: per-epoch, per-item numpy Generators seeded as
 ``(seed, epoch, index)`` — the reference relies on global numpy/random
@@ -40,6 +44,7 @@ class Loader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch: int = 2,
+        batch_slice=None,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -48,6 +53,17 @@ class Loader:
         self.num_workers = max(int(num_workers), 1)
         self.seed = int(seed)
         self.prefetch = max(int(prefetch), 1)
+        if batch_slice is not None:
+            lo, hi = int(batch_slice[0]), int(batch_slice[1])
+            if not (0 <= lo < hi <= self.batch_size):
+                raise ValueError(
+                    f"batch_slice {batch_slice} outside batch {batch_size}")
+            if not self.drop_last:
+                # a ragged tail batch has no well-defined per-process rows;
+                # multi-host eval uses the full-batch shard_batch path instead
+                raise ValueError("batch_slice requires drop_last=True")
+            batch_slice = (lo, hi)
+        self.batch_slice = batch_slice
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -97,6 +113,8 @@ class Loader:
                         if stop.is_set():
                             break
                         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        if self.batch_slice is not None:
+                            idxs = idxs[self.batch_slice[0]:self.batch_slice[1]]
                         items = list(pool.map(fetch_item, idxs))
                         if not put(_stack_batch(items)):
                             break

@@ -13,6 +13,7 @@ from .mesh import (
     make_mesh,
     maybe_initialize_distributed,
     mesh_from_cfg,
+    process_batch_slice,
     replicate_state,
     replicated,
     shard_batch,
@@ -27,6 +28,7 @@ __all__ = [
     "replicate_state",
     "local_batch_size",
     "pad_batch_to_multiple",
+    "process_batch_slice",
     "maybe_initialize_distributed",
     "graph_aug_sequence_parallel",
     "ring_similarity",

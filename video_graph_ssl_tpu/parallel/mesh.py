@@ -15,7 +15,16 @@ insert every collective the reference hand-rolled:
 |                                          | local-BN + pmean'd stats          |
 
 Multi-host TPU slices only additionally need ``jax.distributed.initialize``
-before mesh construction (``maybe_initialize_distributed``).
+before mesh construction (``maybe_initialize_distributed``).  Batch feeding
+then has two shapes:
+
+- every host builds the FULL global batch and ``shard_batch`` slices out the
+  rows its local chips own (correct but loads world_size× too much data); or
+- each host loads ONLY its rows — ``process_batch_slice`` tells the loader
+  which global-batch rows belong to this process (the multi-host counterpart
+  of the reference's ``DistributedSampler``, lib/data/build.py:49) and
+  ``shard_batch(..., local=True)`` assembles the global device array from
+  the per-process chunks.
 """
 
 from __future__ import annotations
@@ -65,18 +74,92 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
-    """Device-put a host batch with the leading dim sharded over ``data``."""
+def process_batch_slice(
+    global_batch: int, mesh: Mesh, data_axis: str = "data"
+) -> tuple:
+    """Global-batch rows ``[lo, hi)`` owned by THIS process's addressable
+    devices under the standard leading-dim sharding.
+
+    The multi-host counterpart of the reference's ``DistributedSampler``
+    (lib/data/build.py:49): pass the result to ``Loader(batch_slice=...)``
+    so each host decodes only its own rows, then assemble with
+    ``shard_batch(..., local=True)``.  Derived from the sharding's own
+    device→index map, so it is correct for any mesh/device ordering; raises
+    if this process's rows are not one contiguous, equal-share range.
+    """
     s = batch_sharding(mesh, data_axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    imap = s.addressable_devices_indices_map((int(global_batch),))
+    spans = sorted({
+        (idx[0].start or 0,
+         int(global_batch) if idx[0].stop is None else idx[0].stop)
+        for idx in imap.values()
+    })  # set: devices on replicated mesh axes share a span
+    lo, hi = spans[0][0], spans[-1][1]
+    expect = lo
+    for a, b in spans:
+        if a != expect:
+            raise ValueError(
+                f"process rows not contiguous under {data_axis!r} sharding: "
+                f"{spans}")
+        expect = b
+    n_proc = jax.process_count()
+    if (hi - lo) * n_proc != int(global_batch):
+        raise ValueError(
+            f"unequal per-process share: rows [{lo},{hi}) of {global_batch} "
+            f"across {n_proc} processes")
+    return int(lo), int(hi)
+
+
+def _to_global(x, sharding, local: bool):
+    """Form a global device array in a process-count-agnostic way.
+
+    Single process: plain ``device_put``.  Multi-process: assemble from
+    per-process chunks (``local=True`` — x holds only this process's rows)
+    or from the full-size host value present on every process
+    (``local=False`` — replicated specs, or a globally-built batch that
+    each process slices itself before calling).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    if local:
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+    else:
+        global_shape = x.shape
+    return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+
+def shard_batch(batch, mesh: Mesh, data_axis: str = "data",
+                local: bool = False):
+    """Device-put a host batch with the leading dim sharded over ``data``.
+
+    Multi-host: with ``local=True`` every leaf holds only this process's
+    rows (from ``Loader(batch_slice=process_batch_slice(...))``); with the
+    default ``local=False`` every process passes the identical FULL global
+    batch and this function slices out the locally-owned rows — correct on
+    any topology, at world_size× host-IO cost.
+    """
+    s = batch_sharding(mesh, data_axis)
+    if jax.process_count() == 1 or local:
+        return jax.tree_util.tree_map(lambda x: _to_global(x, s, local), batch)
+
+    def _slice_put(x):
+        lo, hi = process_batch_slice(np.shape(x)[0], mesh, data_axis)
+        return jax.make_array_from_process_local_data(
+            s, np.asarray(x)[lo:hi], np.shape(x))
+
+    return jax.tree_util.tree_map(_slice_put, batch)
 
 
 def replicate_state(state, mesh: Mesh):
     """Replicate a state pytree across the mesh (the functional analogue of
     the reference's rank-0 ``dist.broadcast`` of memory/params,
-    train_video_contrast_dis.py:233-242)."""
+    train_video_contrast_dis.py:233-242).  Multi-host: every process holds
+    the same host value (same-seed init), assembled into one replicated
+    global array — still no explicit broadcast."""
     r = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), state)
+    return jax.tree_util.tree_map(lambda x: _to_global(x, r, local=False),
+                                  state)
 
 
 def pad_batch_to_multiple(batch, multiple: int):
