@@ -64,6 +64,7 @@ def main():
     from video_graph_ssl_tpu.config import cfg as CFG
     from video_graph_ssl_tpu.engine import (
         create_pretrain_state,
+        jit_train_step,
         make_fused_pretrain_step,
     )
     from video_graph_ssl_tpu.models import create_visual_model
@@ -101,8 +102,8 @@ def main():
     state, tx = create_pretrain_state(cfg, model, example, n_data=1000)
     state = replicate_state(state, mesh)
 
-    step = jax.jit(make_fused_pretrain_step(cfg, model, tx, n_data=1000),
-                   donate_argnums=0)
+    step = jit_train_step(
+        cfg, make_fused_pretrain_step(cfg, model, tx, n_data=1000))
 
     g = np.random.default_rng(0)
     batch = {

@@ -29,6 +29,7 @@ from video_graph_ssl_tpu.config import cfg
 from video_graph_ssl_tpu.data import make_data_loader
 from video_graph_ssl_tpu.engine import (
     create_downstream_state,
+    jit_train_step,
     make_fused_downstream_step,
     make_fused_eval_step,
 )
@@ -93,9 +94,9 @@ class Trainer:
 
         # Linear probe / partial-BN: frozen encoders run on running stats.
         bn_train = not bool(config.MODEL.LINEAR_PROBE)
-        self.step_fn = jax.jit(
-            make_fused_downstream_step(config, self.model, self.tx, bn_train),
-            donate_argnums=0)
+        self.step_fn = jit_train_step(
+            config,
+            make_fused_downstream_step(config, self.model, self.tx, bn_train))
         self.eval_fn = make_fused_eval_step(config, self.model)
 
         self.best_pred = 0.0

@@ -32,6 +32,7 @@ from video_graph_ssl_tpu.config import cfg
 from video_graph_ssl_tpu.data import build_video_contrastive_loader
 from video_graph_ssl_tpu.engine import (
     create_pretrain_state,
+    jit_train_step,
     make_fused_pretrain_step,
 )
 from video_graph_ssl_tpu.models import create_visual_model
@@ -103,7 +104,7 @@ class Trainer:
         step_fn = make_fused_pretrain_step(config, self.model, self.tx,
                                            n_data=self.n_data,
                                            mesh=self.mesh)
-        self.step_fn = jax.jit(step_fn, donate_argnums=0)
+        self.step_fn = jit_train_step(config, step_fn)
 
         self.start_epoch = int(config.SOLVER.START_EPOCH)
         self.best_pred = 0.0

@@ -208,6 +208,14 @@ _C.TPU.SEPCONV_FUSED = False             # S3D: custom-VJP 3-sweep recompute
                                          # backward for branch SepConvs
                                          # (Pallas on one TPU device)
 _C.TPU.PREFETCH = 2                      # host->device pipeline depth
+_C.TPU.COMPILER_OPTIONS = ()             # flat (key, value, key, value, ...)
+                                         # XLA compile-option overrides for
+                                         # the train step, sent INSIDE the
+                                         # compile request (reaches the
+                                         # server-side TPU compiler even
+                                         # over relays where XLA_FLAGS
+                                         # can't; perf/compiler_options_
+                                         # sweep.py measures candidates)
 _C.TPU.CKPT_BACKEND = "msgpack"          # msgpack (1 file) | orbax (sharded)
 _C.TPU.ASYNC_CKPT = False                # orbax only: commit in background
 

@@ -1,8 +1,10 @@
 """Engine: functional train state + jitted train/eval steps."""
 
 from .build import (
+    compiler_options_from_cfg,
     create_downstream_state,
     create_pretrain_state,
+    jit_train_step,
     linear_probe_mask,
 )
 from .downstream import (
@@ -27,6 +29,8 @@ __all__ = [
     "ema_update",
     "create_pretrain_state",
     "create_downstream_state",
+    "compiler_options_from_cfg",
+    "jit_train_step",
     "linear_probe_mask",
     "make_pretrain_step",
     "make_fused_pretrain_step",

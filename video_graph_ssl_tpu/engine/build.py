@@ -67,6 +67,38 @@ def create_pretrain_state(
     return state, tx
 
 
+def compiler_options_from_cfg(cfg) -> Optional[dict]:
+    """``cfg.TPU.COMPILER_OPTIONS`` flat (key, value, ...) pairs → the dict
+    ``jax.jit(compiler_options=...)`` accepts, or None when unset.
+
+    These overrides travel INSIDE the compile request
+    (``env_option_overrides``), so they are parsed by the compiler that
+    actually builds the program — including a remote/relayed TPU server
+    where local ``XLA_FLAGS`` never arrive (perf/xla_flag_sweep.py measured
+    that dead end; perf/compiler_options_sweep.py measures candidates).
+    Values: ``true``/``false`` in any case become real bools; everything
+    else is passed as a string (XLA parses ints/floats itself).
+    """
+    flat = tuple(cfg.TPU.COMPILER_OPTIONS)
+    if not flat:
+        return None
+    if len(flat) % 2:
+        raise ValueError(
+            f"TPU.COMPILER_OPTIONS must be flat key/value pairs, got {flat}")
+    opts = {}
+    for k, v in zip(flat[::2], flat[1::2]):
+        sv = str(v)
+        opts[str(k)] = (sv.lower() == "true") if sv.lower() in (
+            "true", "false") else sv
+    return opts
+
+
+def jit_train_step(cfg, step_fn):
+    """jit a donated-state train step with the cfg's compiler options."""
+    return jax.jit(step_fn, donate_argnums=0,
+                   compiler_options=compiler_options_from_cfg(cfg))
+
+
 def linear_probe_mask(params) -> Any:
     """True only for the ``new_fc`` head — the linear-probe freeze
     (reference: tools/train_ds.py:81-84)."""
