@@ -31,6 +31,7 @@ def _ref_memory():
 
 def test_cmc_moco_matches_reference():
     torch, _mb, mem_moco = _ref_memory()
+    import jax
     import jax.numpy as jnp
 
     from video_graph_ssl_tpu.memory.moco import (CmcMocoState,
@@ -52,9 +53,10 @@ def test_cmc_moco_matches_reference():
 
     state = CmcMocoState(queue_1=jnp.asarray(m1), queue_2=jnp.asarray(m2),
                          ptr=jnp.asarray(0, jnp.int32))
-    l1, l2, labels = cmc_moco_forward(state, jnp.asarray(q1),
-                                      jnp.asarray(k1), jnp.asarray(q2),
-                                      jnp.asarray(k2), T)
+    with jax.default_matmul_precision("highest"):  # fp32 parity on TPU
+        l1, l2, labels = cmc_moco_forward(state, jnp.asarray(q1),
+                                          jnp.asarray(k1), jnp.asarray(q2),
+                                          jnp.asarray(k2), T)
     np.testing.assert_allclose(np.asarray(l1), l1_ref.numpy(),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(l2), l2_ref.numpy(),
@@ -105,10 +107,11 @@ def test_cmc_bank_matches_reference():
         jax.random.randint = (
             lambda key, shape, minval, maxval, dtype=jnp.int32:
             jnp.asarray(fixed, dtype))
-        l1, l2, labels = cmc_bank_logits(state, jnp.asarray(x1),
-                                         jnp.asarray(x2),
-                                         jnp.asarray(y.astype(np.int32)),
-                                         jax.random.key(0), K, T)
+        with jax.default_matmul_precision("highest"):  # fp32 parity on TPU
+            l1, l2, labels = cmc_bank_logits(state, jnp.asarray(x1),
+                                             jnp.asarray(x2),
+                                             jnp.asarray(y.astype(np.int32)),
+                                             jax.random.key(0), K, T)
     finally:
         jax.random.randint = orig
     np.testing.assert_allclose(np.asarray(l1), l1_ref.numpy(),
