@@ -35,6 +35,23 @@ def test_parse_pairs_and_bools():
         "xla_foo": "98304", "xla_bar": True, "xla_baz": False}
 
 
+def test_tpu_only_options_dropped_off_tpu():
+    """``xla_tpu_*`` overrides are rejected as unknown by the CPU compiler,
+    so a chip-tuned YAML must still run on the CPU backend: the TPU-prefixed
+    keys are dropped (with a warning), generic keys pass through."""
+    if jax.default_backend() == "tpu":
+        pytest.skip("gating only applies off-TPU")
+    cfg = _cfg(("xla_tpu_scoped_vmem_limit_kib", "98304",
+                "xla_llvm_enable_invariant_load_metadata", "true"))
+    with pytest.warns(UserWarning, match="xla_tpu_scoped_vmem_limit_kib"):
+        opts = compiler_options_from_cfg(cfg)
+    assert opts == {"xla_llvm_enable_invariant_load_metadata": True}
+
+    only_tpu = _cfg(("xla_tpu_scoped_vmem_limit_kib", "98304"))
+    with pytest.warns(UserWarning):
+        assert compiler_options_from_cfg(only_tpu) is None
+
+
 def test_parse_odd_length_raises():
     with pytest.raises(ValueError):
         compiler_options_from_cfg(_cfg(("xla_foo",)))

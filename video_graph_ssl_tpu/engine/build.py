@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import copy
+import warnings
 from typing import Any, Optional, Tuple
 
 import jax
@@ -90,7 +91,18 @@ def compiler_options_from_cfg(cfg) -> Optional[dict]:
         sv = str(v)
         opts[str(k)] = (sv.lower() == "true") if sv.lower() in (
             "true", "false") else sv
-    return opts
+    # TPU-prefixed overrides are rejected as unknown options by the CPU/GPU
+    # compilers, so a YAML tuned for the chip would crash every CPU test and
+    # smoke run.  They are meaningless off-TPU anyway — drop them (loudly).
+    if opts and jax.default_backend() != "tpu":
+        dropped = sorted(k for k in opts if k.startswith("xla_tpu_"))
+        for k in dropped:
+            del opts[k]
+        if dropped:
+            warnings.warn(
+                "TPU.COMPILER_OPTIONS: dropping TPU-only options on the "
+                f"{jax.default_backend()} backend: {dropped}")
+    return opts or None
 
 
 def jit_train_step(cfg, step_fn):
