@@ -440,3 +440,44 @@ def test_s3dg_text_conversion_and_forward():
         {"params": params, "batch_stats": stats}, x, ids)
     assert out["video_embedding"].shape == (1, 32)
     assert out["text_embedding"].shape == (1, 32)
+
+
+def test_graph_aug_split_convert_export_roundtrip():
+    """Aug-wrapped sd (Sequential(TemporalGraphAug, stage) naming) splits,
+    converts, and round-trips back to identical torch names/values."""
+    import numpy as np
+
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_torch_graph_aug, export_graph_aug_to_torch,
+        split_aug_wrapped_sd)
+
+    g = np.random.default_rng(11)
+    sd = {
+        # wrapped stage 5: graph block at .0 (sub_sample Sequential conv
+        # naming), original block params shifted to .1
+        "base.5.0.g_q.0.weight": g.normal(size=(96, 192, 1, 1, 1)),
+        "base.5.0.g_k.0.weight": g.normal(size=(96, 192, 1, 1, 1)),
+        "base.5.0.gcns.0.conv.weight": g.normal(size=(192, 192, 1, 1, 1)),
+        "base.5.1.branch0.0.conv.weight": g.normal(size=(64, 192, 1, 1, 1)),
+        # untouched stage passes through unchanged
+        "base.6.branch0.0.conv.weight": g.normal(size=(64, 256, 1, 1, 1)),
+    }
+    clean, graphs = split_aug_wrapped_sd(sd)
+    assert set(graphs) == {5}
+    assert "base.5.branch0.0.conv.weight" in clean
+    assert "base.6.branch0.0.conv.weight" in clean
+    assert not any(".0.g_q" in k or ".1." in k for k in clean)
+
+    params, stats = convert_torch_graph_aug(graphs[5])
+    assert params["g_q"]["kernel"].shape == (192, 96)
+    assert params["gcn_0"]["transform"]["kernel"].shape == (192, 192)
+    assert stats == {}
+
+    back = export_graph_aug_to_torch(params, stats)
+    for k in ("g_q.0.weight", "g_k.0.weight", "gcns.0.conv.weight"):
+        np.testing.assert_array_equal(back[k], sd[f"base.5.0.{k}"])
+
+    # plain (unwrapped) sd is a passthrough
+    clean2, graphs2 = split_aug_wrapped_sd({"base.6.conv.weight": sd[
+        "base.6.branch0.0.conv.weight"]})
+    assert graphs2 == {} and len(clean2) == 1

@@ -91,17 +91,24 @@ def compiler_options_from_cfg(cfg) -> Optional[dict]:
         sv = str(v)
         opts[str(k)] = (sv.lower() == "true") if sv.lower() in (
             "true", "false") else sv
-    # TPU-prefixed overrides are rejected as unknown options by the CPU/GPU
+    # TPU-specific overrides are rejected as unknown options by the CPU/GPU
     # compilers, so a YAML tuned for the chip would crash every CPU test and
-    # smoke run.  They are meaningless off-TPU anyway — drop them (loudly).
+    # smoke run.  They are meaningless off-TPU anyway — drop every known
+    # TPU-only family (loudly).  Generic DebugOptions keys (xla_latency_*,
+    # xla_gpu-agnostic scheduler knobs, ...) pass through untouched; an
+    # unknown non-TPU key that still crashes off-TPU is a config error the
+    # compiler reports itself.
+    _TPU_ONLY_PREFIXES = ("xla_tpu_", "xla_sc_", "xla_jf_", "xla_sparse_core_")
     if opts and jax.default_backend() != "tpu":
-        dropped = sorted(k for k in opts if k.startswith("xla_tpu_"))
+        dropped = sorted(
+            k for k in opts if k.startswith(_TPU_ONLY_PREFIXES))
         for k in dropped:
             del opts[k]
         if dropped:
             warnings.warn(
                 "TPU.COMPILER_OPTIONS: dropping TPU-only options on the "
-                f"{jax.default_backend()} backend: {dropped}")
+                f"{jax.default_backend()} backend: {dropped}",
+                stacklevel=2)
     return opts or None
 
 

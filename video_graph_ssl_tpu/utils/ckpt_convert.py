@@ -35,12 +35,14 @@ import functools
 
 from .torch_interop import (
     convert_torch_bninception,
+    convert_torch_graph_aug,
     convert_torch_i3d,
     convert_torch_inception_v3,
     convert_torch_resnet,
     convert_torch_s3d,
     convert_torch_s3dg,
     export_s3d_to_torch_names,
+    split_aug_wrapped_sd,
 )
 
 _BACKBONE_CONVERTERS = {
@@ -139,8 +141,16 @@ def convert_pretrain_sd(
             f"(have: {sorted(_BACKBONE_CONVERTERS)})")
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
-    enc_p, enc_s = _BACKBONE_CONVERTERS[backbone](
-        _sub(sd, "model.encoder.base_model."))
+    enc_sd = _sub(sd, "model.encoder.base_model.")
+    # Graph-aug (MODEL.AUG_FLAG) checkpoints: strip the Sequential wraps and
+    # convert each TemporalGraphAug block alongside the backbone.
+    enc_sd, graph_sds = split_aug_wrapped_sd(enc_sd)
+    enc_p, enc_s = _BACKBONE_CONVERTERS[backbone](enc_sd)
+    for idx, gsd in sorted(graph_sds.items()):
+        gp, gs = convert_torch_graph_aug(gsd)
+        enc_p[f"graph_aug_{idx}"] = gp
+        if gs:
+            enc_s[f"graph_aug_{idx}"] = gs
     model_p: dict = {"encoder": {"base_model": enc_p}}
     model_s: dict = {"encoder": {"base_model": enc_s}}
     if mem_type == "simsiam":

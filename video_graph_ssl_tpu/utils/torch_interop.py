@@ -177,6 +177,157 @@ def export_s3d_to_torch_names(params: dict, stats: dict) -> Dict[str, np.ndarray
         out["fc.0.weight"] = k.T.reshape(k.shape[1], k.shape[0], 1, 1, 1)
         if "bias" in params["fc"]:
             out["fc.0.bias"] = np.asarray(params["fc"]["bias"])
+
+    # Graph-aug variant: reproduce the aug-wrapped naming (each wrapped
+    # stage becomes Sequential(TemporalGraphAug, stage): graph params at
+    # base.{i}.0.*, the stage's at base.{i}.1.* — see split_aug_wrapped_sd).
+    aug_idxs = sorted(int(k.rsplit("_", 1)[1]) for k in params
+                      if k.startswith("graph_aug_"))
+    if aug_idxs:
+        wrapped: Dict[str, np.ndarray] = {}
+        for k, v in out.items():
+            parts = k.split(".")
+            if parts[0] == "base" and int_or(parts[1]) in aug_idxs:
+                wrapped[".".join(parts[:2] + ["1"] + parts[2:])] = v
+            else:
+                wrapped[k] = v
+        for i in aug_idxs:
+            g = export_graph_aug_to_torch(
+                params[f"graph_aug_{i}"],
+                (stats or {}).get(f"graph_aug_{i}", {}))
+            for k, v in g.items():
+                wrapped[f"base.{i}.0.{k}"] = v
+        out = wrapped
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Graph-aug (TemporalGraphAug) wrapped checkpoints.
+#
+# The reference's intended ``build_aug_block`` (lib/ops/build.py:9-32 — its
+# shipped form has latent bugs: the wrap logic sits outside the loop so only
+# the last name is processed, and the dotted-name for/else re-getattrs the
+# full dotted string, an AttributeError; plus TemporalGraphAug.__init__ calls
+# ``self.reset_parameter`` while the method is ``reset_parameters``,
+# temporal_graph.py:115/123 vs 129) replaces each named stage M with
+# ``Sequential(TemporalGraphAug(in_ch), M)``, so the wrapped stage's torch
+# names move to ``<name>.1.*`` and the graph block's live at ``<name>.0.*``.
+# --------------------------------------------------------------------------- #
+
+def split_aug_wrapped_sd(
+    sd: Dict[str, np.ndarray],
+) -> Tuple[Dict[str, np.ndarray], Dict[int, Dict[str, np.ndarray]]]:
+    """Aug-wrapped backbone state_dict -> (clean backbone sd, {idx: graph sd}).
+
+    Detects ``base.{i}.0.g_q*`` graph markers, strips the Sequential wrap
+    (``base.{i}.1.X`` -> ``base.{i}.X``) and collects each graph block's
+    slice keyed by its stage index.  A state_dict without aug wraps passes
+    through unchanged.
+    """
+    aug_idx = set()
+    for k in sd:
+        parts = k.split(".")
+        if (len(parts) > 3 and parts[0] == "base" and parts[2] == "0"
+                and parts[3] in ("g_q", "g_k", "gcns")):
+            aug_idx.add(int(parts[1]))
+    if not aug_idx:
+        return dict(sd), {}
+    clean: Dict[str, np.ndarray] = {}
+    graphs: Dict[int, Dict[str, np.ndarray]] = {i: {} for i in aug_idx}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if len(parts) > 2 and parts[0] == "base" and int_or(parts[1]) in aug_idx:
+            idx = int(parts[1])
+            if parts[2] == "0":
+                graphs[idx][".".join(parts[3:])] = v
+                continue
+            if parts[2] == "1":
+                clean[".".join(parts[:2] + parts[3:])] = v
+                continue
+        clean[k] = v
+    return clean, graphs
+
+
+def int_or(s: str, default: int = -1) -> int:
+    try:
+        return int(s)
+    except ValueError:
+        return default
+
+
+def _find_graph_conv(gsd: Dict[str, np.ndarray], stem: str) -> str:
+    """Locate the q/k Conv3d weight under Sequential nesting (bare
+    ``g_q.weight``; ``g_q.0.weight`` with sub_sample; ``g_q.0.0.weight``
+    with bn_layer+sub_sample)."""
+    for cand in (f"{stem}.weight", f"{stem}.0.weight", f"{stem}.0.0.weight"):
+        if cand in gsd and np.asarray(gsd[cand]).ndim == 5:
+            return cand[:-len(".weight")]
+    raise KeyError(f"no conv weight for '{stem}' in {sorted(gsd)}")
+
+
+def convert_torch_graph_aug(gsd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """One TemporalGraphAug state_dict slice -> our ops.temporal_graph tree
+    (params, batch_stats).  Covers the default geometry (bias/bn optional);
+    conv3d 1x1x1 (O, I, 1,1,1) -> Dense kernel (I, O)."""
+    params: dict = {}
+    stats: dict = {}
+    for stem in ("g_q", "g_k"):
+        conv = _find_graph_conv(gsd, stem)
+        w = np.asarray(gsd[conv + ".weight"])
+        params[stem] = {"kernel": w.reshape(w.shape[0], w.shape[1]).T}
+        if conv + ".bias" in gsd:
+            params[stem]["bias"] = np.asarray(gsd[conv + ".bias"])
+        # optional BN right after the conv (bn_layer=True)
+        bn = conv[:-1] + "1" if conv.endswith(".0") else None
+        if bn and bn + ".running_mean" in gsd:
+            params[f"{stem}_bn"] = {"scale": np.asarray(gsd[bn + ".weight"]),
+                                    "bias": np.asarray(gsd[bn + ".bias"])}
+            stats[f"{stem}_bn"] = {"mean": np.asarray(gsd[bn + ".running_mean"]),
+                                   "var": np.asarray(gsd[bn + ".running_var"])}
+    i = 0
+    while f"gcns.{i}.conv.weight" in gsd:
+        w = np.asarray(gsd[f"gcns.{i}.conv.weight"])
+        t = {"kernel": w.reshape(w.shape[0], w.shape[1]).T}
+        if f"gcns.{i}.conv.bias" in gsd:
+            t["bias"] = np.asarray(gsd[f"gcns.{i}.conv.bias"])
+        params[f"gcn_{i}"] = {"transform": t}
+        i += 1
+    if i == 0:
+        raise KeyError(f"no GCN conv weights in {sorted(gsd)}")
+    return params, stats
+
+
+def export_graph_aug_to_torch(
+    params: dict, stats: dict, sub_sample: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_graph_aug` for one graph block."""
+    out: Dict[str, np.ndarray] = {}
+    for stem in ("g_q", "g_k"):
+        has_bn = f"{stem}_bn" in params
+        conv = stem
+        if has_bn:
+            conv += ".0"
+        if sub_sample:
+            conv = (f"{stem}.0.0" if has_bn else f"{stem}.0")
+        k = np.asarray(params[stem]["kernel"])
+        out[conv + ".weight"] = k.T.reshape(k.shape[1], k.shape[0], 1, 1, 1)
+        if "bias" in params[stem]:
+            out[conv + ".bias"] = np.asarray(params[stem]["bias"])
+        if has_bn:
+            bn = conv[:-1] + "1"
+            out[bn + ".weight"] = np.asarray(params[f"{stem}_bn"]["scale"])
+            out[bn + ".bias"] = np.asarray(params[f"{stem}_bn"]["bias"])
+            out[bn + ".running_mean"] = np.asarray(stats[f"{stem}_bn"]["mean"])
+            out[bn + ".running_var"] = np.asarray(stats[f"{stem}_bn"]["var"])
+    i = 0
+    while f"gcn_{i}" in params:
+        t = params[f"gcn_{i}"]["transform"]
+        k = np.asarray(t["kernel"])
+        out[f"gcns.{i}.conv.weight"] = k.T.reshape(
+            k.shape[1], k.shape[0], 1, 1, 1)
+        if "bias" in t:
+            out[f"gcns.{i}.conv.bias"] = np.asarray(t["bias"])
+        i += 1
     return out
 
 
