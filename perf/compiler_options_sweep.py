@@ -48,10 +48,17 @@ TRIALS = {
     # combine the winners manually after a first pass, e.g.:
     "vmem96_rerun": {"xla_tpu_scoped_vmem_limit_kib": "98304",
                      "xla_latency_hiding_scheduler_rerun": "2"},
+    # r4 combined trials (r3 best was scavenge, within relay noise alone)
+    "scavenge_licm": {"xla_tpu_scavenge_vmem_for_fusions": "True",
+                      "xla_tpu_licm_size_inflation_ratio": "2.0"},
+    "scavenge_vmem96": {"xla_tpu_scavenge_vmem_for_fusions": "True",
+                        "xla_tpu_scoped_vmem_limit_kib": "98304"},
+    "scavenge_flm": {"xla_tpu_scavenge_vmem_for_fusions": "True",
+                     "xla_tpu_use_experimental_fusion_cost_model": "True"},
 }
 
 
-def build_step_and_batch():
+def build_step_and_batch(cfg_overrides=()):
     import jax
 
     from video_graph_ssl_tpu.config import cfg as CFG
@@ -71,6 +78,8 @@ def build_step_and_batch():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "configs/visual_moco.yaml"))
     cfg.DATASET.SOURCE = "synthetic"
+    if cfg_overrides:
+        cfg.merge_from_list(list(cfg_overrides))
     batch_size = int(os.environ.get("VGS_BENCH_BS", "128"))
     t = int(cfg.INPUT.VIDEO_LENGTH)
     canvas = (int(cfg.INPUT.SCALE_SIZE[0]), int(cfg.INPUT.SCALE_SIZE[1]))
@@ -101,11 +110,14 @@ def main():
     ap.add_argument("--trials", nargs="*", default=list(TRIALS))
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--windows", type=int, default=4)
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="config overrides, e.g. --opts MODEL.AUG_FLAG True "
+                         "(sweep the GCA headline step)")
     args = ap.parse_args()
 
     import jax
 
-    step_fn, state0, batch, batch_size = build_step_and_batch()
+    step_fn, state0, batch, batch_size = build_step_and_batch(args.opts)
     results = []
     for name in args.trials:
         opts = TRIALS[name]
@@ -139,8 +151,11 @@ def main():
     ok = [r for r in results if "clips_per_sec" in r]
     if ok:
         best = max(ok, key=lambda r: r["clips_per_sec"])
-        print(f"# best: {best['trial']} {best['clips_per_sec']} clips/s",
-              flush=True)
+        # JSON record (not a comment) so the output stays valid JSON-lines
+        print(json.dumps({"summary":
+                          f"best: {best['trial']} "
+                          f"{best['clips_per_sec']} clips/s",
+                          "opts": args.opts}), flush=True)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,58 @@ def measure(overrides, batch_size=128, iters=20):
     return dt, batch_size / dt
 
 
+def measure_inference(kind: str, batch_size=128, iters=20):
+    """Eval/retrieval throughput (clips/s): the jitted multi-crop eval
+    logits path (tools/test_ds.py) or the encoder-feature path
+    (tools/video_retrieval.py), with the device resize/center-crop chain
+    fused in."""
+    import jax
+
+    from video_graph_ssl_tpu.config import cfg as CFG
+    from video_graph_ssl_tpu.data.transforms_device import make_batch_augment_fn
+    from video_graph_ssl_tpu.engine import create_downstream_state
+    from video_graph_ssl_tpu.models import create_video_model
+    from video_graph_ssl_tpu.parallel import make_mesh, replicate_state, shard_batch
+
+    cfg = CFG.clone()
+    cfg.merge_from_file("configs/visual_moco.yaml")
+    cfg.DATASET.SOURCE = "synthetic"
+    cfg.DATASET.NUM_CLASS = 101
+    t = int(cfg.INPUT.VIDEO_LENGTH)
+    canvas = (int(cfg.INPUT.SCALE_SIZE[0]), int(cfg.INPUT.SCALE_SIZE[1]))
+    base = (int(cfg.INPUT.BASE_SIZE[0]), int(cfg.INPUT.BASE_SIZE[1]))
+    mesh = make_mesh((-1,), ("data",))
+    model, _ = create_video_model(cfg)
+    state, _tx = create_downstream_state(
+        cfg, model, np.zeros((2, t, *base, 3), np.float32))
+    state = replicate_state(state, mesh)
+    augment = make_batch_augment_fn(cfg, "eval")
+    method = "encode" if kind == "features" else None
+
+    @jax.jit
+    def step(st, raw):
+        clips = augment(raw)
+        variables = {"params": st.params, "batch_stats": st.batch_stats}
+        if method:
+            return model.apply(variables, clips, train=False, method=method)
+        return model.apply(variables, clips, train=False)
+
+    g = np.random.default_rng(0)
+    raw = g.integers(0, 256, (batch_size, t, *canvas, 3), dtype=np.uint8)
+    raw = shard_batch({"clips": raw}, mesh)["clips"]
+    out = step(state, raw)
+    float(out.reshape(-1)[0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(state, raw)
+        float(out.reshape(-1)[0])
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
+    return dt, batch_size / dt
+
+
 REGIMES = {
     "moco": [],
     "moco+s2d": ["TPU.STEM_S2D", "full"],     # space-to-depth stem (exact)
@@ -95,6 +147,9 @@ REGIMES = {
     # False 08-18 after two full-step sweeps showed XLA a hair ahead)
     "moco+graph": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "False"],
     "moco+graph-pal": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "True"],
+    # inference rows (VERDICT r3 item 8): eval logits / retrieval features
+    "eval": "eval",
+    "features": "features",
 }
 
 
@@ -107,7 +162,11 @@ def main():
 
     for name in args.regimes:
         try:
-            dt, cps = measure(REGIMES[name], args.batch, args.iters)
+            spec = REGIMES[name]
+            if isinstance(spec, str):
+                dt, cps = measure_inference(spec, args.batch, args.iters)
+            else:
+                dt, cps = measure(spec, args.batch, args.iters)
             print(f"{name:15s} {dt*1e3:7.2f} ms/step  {cps:8.1f} clips/s",
                   flush=True)
         except Exception as e:  # keep the sweep alive past one bad regime

@@ -78,7 +78,12 @@ def build_cfg(args):
     c.defrost()
     c.MODEL.BACKBONE = "S3D"
     c.MODEL.BACKBONE_TYPE = "3D"
-    c.MODEL.AUG_FLAG = False
+    c.MODEL.AUG_FLAG = bool(args.aug)
+    if args.aug:
+        # Deterministic lockstep: no stochastic adjacency draw on either
+        # side (torch/jax PRNGs cannot be synchronized).  The similarity
+        # adjacency + hop reweighting + GCN stack still run — and train.
+        c.GRAPH.SAMPLER = "none"
     c.MODEL.DROPOUT = 0.0          # dropout off -> deterministic
     c.MODEL.PRETRAINED = False
     c.INPUT.MODALITY = "RGB"
@@ -103,6 +108,63 @@ def build_cfg(args):
     return c
 
 
+def _patch_reference_graph():
+    """Make the reference's graph-aug path constructible and deterministic.
+
+    The shipped code cannot build the GCA variant at all:
+      * ``TemporalGraphAug.__init__`` calls ``self.reset_parameter`` but the
+        method is named ``reset_parameters`` (temporal_graph.py:115,123 vs
+        129) — AttributeError;
+      * ``build_aug_block`` (lib/ops/build.py:9-32) wraps only the LAST
+        listed stage (the wrap logic sits outside the loop) and its dotted-
+        name for/else re-getattrs the full dotted string — AttributeError;
+        it also reads ``module.in_channels`` which inception blocks lack.
+    Intended semantics installed here: every named stage M becomes
+    ``Sequential(TemporalGraphAug(in_ch(M)), M)`` — matching our
+    aug_points insertion (models/s3d.py).  For the lockstep run the
+    RelaxedBernoulli rsample (temporal_graph.py:187-192) is the identity,
+    matching GRAPH.SAMPLER='none' on our side.
+    """
+    from torch import nn
+
+    import lib.ops.module_wrappers.temporal_graph as ref_tg
+
+    ref_tg.TemporalGraphAug.reset_parameter = \
+        ref_tg.TemporalGraphAug.reset_parameters
+    ref_tg.TemporalGraphAug._sample_adj_with_rel_ber = \
+        lambda self, adj: adj
+
+    def fixed_build_aug_block(base_model, module_name_list, n_segments):
+        for module_name in module_name_list:
+            parts = module_name.split(".")
+            parent = base_model
+            for p in parts[:-1]:
+                parent = getattr(parent, p)
+            module = getattr(parent, parts[-1])
+            in_channels = next(m.in_channels for m in module.modules()
+                               if isinstance(m, nn.Conv3d))
+            setattr(parent, parts[-1], nn.Sequential(
+                ref_tg.TemporalGraphAug(in_channels=in_channels), module))
+        return base_model
+
+    import lib.modeling.visual_wrappers as vw
+
+    vw.build_aug_block = fixed_build_aug_block
+
+    # cfg.MODEL.AUG_FLAG is never threaded through the reference's model
+    # factory (lib/modeling/build.py:17-31 builds VisualModelWrapper
+    # without aug_flag, so the shipped build can never enable the paper's
+    # own graph module) — force the intended aug_flag=True construction.
+    import lib.modeling.build as ref_build
+
+    class _AugVisualModelWrapper(vw.VisualModelWrapper):
+        def __init__(self, *a, **kw):
+            kw["aug_flag"] = True
+            super().__init__(*a, **kw)
+
+    ref_build.VisualModelWrapper = _AugVisualModelWrapper
+
+
 def run_reference(cfg, batches, steps, perturb=0.0, seed=0,
                   fixed_neg_idx=None):
     """N steps of the reference GraphWrapper(SimSiam) under its own
@@ -117,6 +179,8 @@ def run_reference(cfg, batches, steps, perturb=0.0, seed=0,
     import torch
 
     sys.path.insert(0, REF_ROOT)
+    if bool(cfg.MODEL.AUG_FLAG):
+        _patch_reference_graph()
     from lib.modeling.build import create_visual_model as ref_create
     from lib.solver.build import make_optimizer as ref_make_optimizer
 
@@ -300,6 +364,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--regime", choices=["simsiam", "moco", "bank"],
                     default="simsiam")
+    ap.add_argument("--aug", action="store_true",
+                    help="MODEL.AUG_FLAG=True: lockstep through the GCA "
+                         "graph path (similarity adjacency + GCN), "
+                         "deterministic via GRAPH.SAMPLER=none on both "
+                         "sides (see _patch_reference_graph)")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=16)

@@ -92,8 +92,16 @@ class Trainer:
         self._load_ssl_checkpoint()
         self.state = replicate_state(self.state, self.mesh)
 
-        # Linear probe / partial-BN: frozen encoders run on running stats.
-        bn_train = not bool(config.MODEL.LINEAR_PROBE)
+        # Linear probe BN semantics: 'eval' runs the frozen encoder on
+        # running stats; 'reference' keeps the reference's partial-BN train
+        # mode (first BN live — model_wrappers.py:130-146; the VideoModel's
+        # partial_bn flag freezes the rest).  A/B: perf/probe_bn_lab.py.
+        probe_bn = str(config.MODEL.PROBE_BN)
+        if probe_bn not in ("eval", "reference"):
+            raise ValueError(f"MODEL.PROBE_BN must be eval|reference, "
+                             f"got {probe_bn}")
+        bn_train = (not bool(config.MODEL.LINEAR_PROBE)
+                    or probe_bn == "reference")
         self.step_fn = jit_train_step(
             config,
             make_fused_downstream_step(config, self.model, self.tx, bn_train))

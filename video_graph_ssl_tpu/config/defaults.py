@@ -31,6 +31,15 @@ _C.MODEL.DISTRIBUTED = True
 _C.MODEL.REASONING_FLAG = False
 _C.MODEL.AUG_FLAG = False          # enables the temporal-graph augmentation
 _C.MODEL.LINEAR_PROBE = False
+# BN semantics when LINEAR_PROBE freezes the encoder:
+#   'eval'      — whole model on running stats (this framework's default;
+#                 deterministic probe, no stat drift)
+#   'reference' — partial-BN train mode: the FIRST BN keeps using batch
+#                 statistics and updating its running stats, the rest are
+#                 frozen — the reference's VideoModelWrapper.train()
+#                 override (model_wrappers.py:130-146).
+# Measured A/B on the temporal-motion probe set: perf/probe_bn_lab.py.
+_C.MODEL.PROBE_BN = "eval"
 
 # ---------------------------------------------------------------------------- #
 # Input

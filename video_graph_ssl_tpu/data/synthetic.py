@@ -36,6 +36,65 @@ class SyntheticContrastiveDataset:
         return {"clips": clips, "label": label, "index": np.int32(index)}
 
 
+# (dy, dx) px/frame — ± pairs along each axis so the order-free frame
+# statistics of opposite classes are identical (see temporal_motion_clips).
+MOTION_VELS = ((0, 1), (0, -1), (1, 0), (-1, 0))
+
+
+def temporal_motion_clips(
+    per_class: int = 12,
+    t: int = 8,
+    hw: Tuple[int, int] = (16, 16),
+    seed: int = 0,
+    noise: float = 0.5,
+    n_classes: int = 4,
+):
+    """Clips whose class signal lives in frame ORDER, not appearance.
+
+    Class ``c`` moves a soft periodic blob with velocity ``MOTION_VELS[c]``
+    (wraparound).  Opposite-direction classes (+v / -v) traverse the same
+    positions with random phase, so their time-POOLED frame statistics are
+    identically distributed — only the temporal ordering separates them.
+    Per-clip nuisance: random start position, per-view independent start +
+    color mixing + pixel noise; the two views of a clip share ONLY the
+    motion pattern.
+
+    This is the probe set for the GCA claim (reference README.md:48-58:
+    the graph-composed augmentation beats plain MoCo-video): a model that
+    reasons over frame relations should separate these classes better than
+    one that does not.
+
+    Returns ``(clips, labels)``: (N, 2, T, H, W, 3) float32, (N,) int.
+    """
+    h, w = hw
+    g = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    steps = np.arange(t)
+
+    def blob_view(vy, vx):
+        y0, x0 = g.integers(0, h), g.integers(0, w)
+        cy = (y0 + vy * steps) % h          # (T,)
+        cx = (x0 + vx * steps) % w
+        # ring distance -> soft blob, periodic so wraparound is seamless
+        dy = np.minimum(np.abs(yy[None] - cy[:, None, None]),
+                        h - np.abs(yy[None] - cy[:, None, None]))
+        dx = np.minimum(np.abs(xx[None] - cx[:, None, None]),
+                        w - np.abs(xx[None] - cx[:, None, None]))
+        bump = np.exp(-(dy ** 2 + dx ** 2) / (2 * 1.5 ** 2))  # (T, H, W)
+        color = g.uniform(0.5, 1.5, 3)
+        frames = bump[..., None] * color * 3.0
+        frames += g.normal(0.0, noise, frames.shape)
+        return frames.astype(np.float32)
+
+    clips, labels = [], []
+    for c in range(n_classes):
+        vy, vx = MOTION_VELS[c % len(MOTION_VELS)]
+        for _ in range(per_class):
+            clips.append(np.stack([blob_view(vy, vx), blob_view(vy, vx)]))
+            labels.append(c)
+    return np.stack(clips), np.asarray(labels)
+
+
 @dataclass
 class SyntheticFrameDataset:
     n_data: int = 256
