@@ -193,12 +193,15 @@ def test_pallas_tiled_matches_untiled_interpret():
 
 
 def test_plan_tiles_known_shapes():
-    """Bench-geometry stages: 4b..5c fit untiled, 3b/3c tile, stem_3 none."""
+    """Bench-geometry stages at the SUBLANE-PADDED width the kernels run
+    at: 4b..5c fit resident untiled; 3b (28->32 pad) and stem_3 overflow
+    the resident budget and fall to the grid variant."""
+    from video_graph_ssl_tpu.ops.fused_sepconv import pallas_covered
     from video_graph_ssl_tpu.ops.pallas.sepconv_bwd import plan_tiles
 
     assert plan_tiles((128, 4, 14, 14, 96), 208) == 14     # mixed_4b b1
-    t3b = plan_tiles((128, 8, 28, 28, 96), 128)            # mixed_3b b1
-    assert t3b is not None and t3b < 28
+    assert plan_tiles((128, 8, 28, 28, 96), 128) is None   # mixed_3b b1
+    assert pallas_covered((128, 8, 28, 28, 96), 128) == "grid"
     assert plan_tiles((128, 8, 56, 56, 64), 192) is None   # stem_3
 
 

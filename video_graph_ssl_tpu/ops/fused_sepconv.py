@@ -203,21 +203,24 @@ def _pallas_mode(x, f_out) -> str | None:
     span the data axis anyway.  ``VGS_SEPCONV_XLA=1`` forces the XLA
     sweeps on TPU too — measures the recompute restructure on its own.
 
-    MEASURED LIMITATION (08-18, v5e): Mosaic REJECTS these kernels at
-    every production S3D shape — the (t, h_t, w, c) -> (rows, c)
-    collapse reshapes behind the tap matmuls need a relayout Mosaic
-    cannot infer when w (3/7/14 at bench geometry) is not a multiple of
-    the sublane tile ("infer-vector-layout: unsupported shape cast",
-    e.g. vector<2x3x3x48xbf16> -> vector<18x48xbf16>; ledger
-    perf/CHIP_QUEUE_r03b.jsonl, trials sepconv_fused/nogrid/pack).
-    The kernels therefore require the explicit ``VGS_SEPCONV_PALLAS=1``
-    opt-in (interpret-mode tests keep pinning their math); the default
-    TPU path for SEPCONV_FUSED is the identical-math XLA sweeps — which
-    themselves measured 7.5% SLOWER than the standard autodiff backward
-    (1228.7 vs 1328.2 clips/s, same ledger), consistent with
-    perf/bwd_floor.py's verdict that the backward gap is distributed
-    overhead rather than activation re-reads.  SEPCONV_FUSED stays
-    default-off; this module is the measured witness."""
+    HISTORY: in r3 Mosaic REJECTED these kernels at every production
+    S3D shape — the (t, h_t, w, c) -> (rows, c) collapse reshapes behind
+    the tap matmuls need a relayout Mosaic cannot infer when w (3/7/14
+    at bench geometry) is not a multiple of the sublane tile
+    ("infer-vector-layout: unsupported shape cast"; ledger
+    perf/CHIP_QUEUE_r03b.jsonl, trials sepconv_fused/nogrid/pack).  r4
+    fixed this by zero-padding W to the sublane tile inside the kernel
+    wrappers (see ops/pallas/sepconv_bwd.py docstring).  The kernels
+    stay behind the explicit ``VGS_SEPCONV_PALLAS=1`` opt-in because the
+    identical-math XLA sweeps measured 7.5% SLOWER than the standard
+    autodiff backward (1228.7 vs 1328.2 clips/s, same ledger),
+    consistent with perf/bwd_floor.py's verdict that the backward gap is
+    distributed overhead rather than activation re-reads.  r4 MEASURED
+    the padded resident kernels in the full GCA bench step: 933.9 vs
+    1273.8 clips/s (-27%; perf/CHIP_QUEUE_r04.jsonl) — the megakernel
+    premise is refuted with a live witness, and SEPCONV_FUSED stays
+    default-off.  (The grid variant's manual-DMA kernels crash the
+    server-side compiler outright — HTTP 500, same ledger.)"""
     import os
 
     if os.environ.get("VGS_SEPCONV_XLA", "0") == "1":

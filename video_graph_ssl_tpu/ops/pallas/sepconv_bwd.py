@@ -26,18 +26,29 @@ Cast points mirror ops/fused_sepconv.py's `_bwd_reference` exactly, so
 interpret-mode equality against it is exact in fp32
 (tests/test_fused_sepconv.py, including a forced-tiling case).
 
-STATUS (08-18, v5e chip): Mosaic rejects these kernels at every
-production S3D shape — the (t, h_t, w, c) -> (t*h_t*w, c) collapse
-reshapes behind each tap matmul require a sublane relayout Mosaic's
-infer-vector-layout cannot express when w is not a multiple of the
-native sublane tile (w is 3/7/14 at bench geometry; error:
+SUBLANE PADDING (the r3 Mosaic blocker, fixed in r4): the
+(t, h_t, w, c) -> (t*h_t*w, c) collapse reshapes behind each tap matmul
+need a relayout Mosaic cannot infer when w is not a multiple of the
+native sublane tile (w is 3/7/14 at bench geometry; r3 error:
 "unsupported shape cast", vector<2x3x3x48xbf16> -> vector<18x48xbf16>).
-A fix would pad W to the sublane tile and mask every reduction (BN sums,
-dW taps), a substantial rewrite; it is NOT worth building unless the
-premise recovers: the identical-math XLA sweeps already measured 7.5%
-slower than the standard backward (perf/CHIP_QUEUE_r03b.jsonl), so the
-kernels are kept as the interpret-verified expression of the 3-sweep
-math, gated behind VGS_SEPCONV_PALLAS=1 (see fused_sepconv._pallas_mode).
+Fix: ``sepconv_bwd_pallas`` zero-pads x and g along W to the sublane
+multiple before the kernels run.  The zero-padded cotangent makes every
+pad-column ``dz`` exactly zero (so the BN sums need no masks), but the
+BN *backward* broadcasts the batch-mean terms into pad columns, so the
+two places a broadcast cotangent feeds an accumulation — ``dy2`` before
+the dWt taps / conv_t^T (k2) and ``dy1`` before the dWs taps / conv_s^T
+(k3) — are masked with a rows-major column mask; ``dx`` pad columns are
+sliced off at the end.  ``n`` (the BN count) keeps the TRUE element
+count.  Interpret-mode tests pin padded-vs-reference equality at
+non-multiple widths.
+
+MEASURED (08-19, v5e): the padded resident kernels now COMPILE AND RUN
+at every covered production shape (w=7/14) — and LOSE 27% in the full
+GCA bench step (933.9 vs 1273.8 clips/s, perf/CHIP_QUEUE_r04.jsonl):
+the same layout-pinning + lost-fusion tax every local Pallas
+substitution has paid in this net.  The r3 "premise refuted" verdict is
+now earned with a live witness; the kernels stay behind
+VGS_SEPCONV_PALLAS=1.
 
 Why three sweeps: BN train backward needs batch-mean terms of the
 incoming cotangent before any per-element gradient exists — a single
@@ -56,6 +67,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-3
 _VMEM_BUDGET = 12 * 2**20
+_SUBLANE = 8
+
+
+def _padded_w(w: int) -> int:
+    """W rounded up to the native sublane tile (see module docstring)."""
+    return -(-w // _SUBLANE) * _SUBLANE
+
+
+def _w_mask(rows: int, wp: int, true_w: int):
+    """(rows, 1) fp32 mask over rows-major (t, h_t, wp) rows: 1.0 on real
+    columns, 0.0 on the W sublane-pad columns.  None when no pad exists."""
+    if wp == true_w:
+        return None
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % wp
+    return (col < true_w).astype(jnp.float32)
 
 
 def _working_set(t, h, w, c, f, h_tile, dsize=2) -> int:
@@ -71,10 +97,12 @@ def _working_set(t, h, w, c, f, h_tile, dsize=2) -> int:
 
 
 def plan_tiles(x_shape, f_out) -> int | None:
-    """Largest H-divisor slab that fits the VMEM budget (None = no fit)."""
+    """Largest H-divisor slab that fits the VMEM budget (None = no fit).
+    Plans at the SUBLANE-PADDED width the kernels actually run at."""
     _, t, h, w, c = x_shape
+    wp = _padded_w(w)
     for h_tile in [d for d in range(h, 0, -1) if h % d == 0]:
-        if _working_set(t, h, w, c, f_out, h_tile) <= _VMEM_BUDGET:
+        if _working_set(t, h, wp, c, f_out, h_tile) <= _VMEM_BUDGET:
             return h_tile
     return None
 
@@ -159,7 +187,7 @@ def _k1_bn2_sums(x_ref, g_ref, ws_ref, wt_ref, c_ref, out_ref, acc,
 
 def _k2_mid(x_ref, g_ref, ws_ref, wt_ref, c_ref, m2_ref,
             dz1_ref, dwt_ref, s1_ref, dwt_acc, s1_acc,
-            *, dims, h_tile, dtype):
+            *, dims, h_tile, dtype, true_w):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -179,6 +207,11 @@ def _k2_mid(x_ref, g_ref, ws_ref, wt_ref, c_ref, m2_ref,
         gf = g_ref[0, :, h0:h0 + h_tile].reshape(rows, f).astype(jnp.float32)
         dz2 = jnp.where(z2 > 0, gf, 0.0)
         dy2 = alpha2 * (dz2 - m2_ref[0, :] - xhat2 * m2_ref[1, :])
+        # zero the W sublane-pad columns (dz2 is already zero there via the
+        # zero-padded cotangent, but the BN mean terms broadcast into them)
+        mask = _w_mask(rows, w, true_w)
+        if mask is not None:
+            dy2 = dy2 * mask
         dy2c = dy2.astype(dtype)
 
         # dWt taps: a[t+k-1]^T . dy2 (temporal shift only — tiles cleanly)
@@ -205,7 +238,8 @@ def _k2_mid(x_ref, g_ref, ws_ref, wt_ref, c_ref, m2_ref,
 
 
 def _k3_input_grads(x_ref, dz1_ref, ws_ref, c_ref, m1_ref,
-                    dx_ref, dws_ref, dws_acc, *, dims, h_tile, dtype):
+                    dx_ref, dws_ref, dws_acc, *, dims, h_tile, dtype,
+                    true_w):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -227,6 +261,12 @@ def _k3_input_grads(x_ref, dz1_ref, ws_ref, c_ref, m1_ref,
         dz1 = dz1_ref[0, :, r0:r1].reshape(t * n_r * w, f
                                            ).astype(jnp.float32)
         dy1 = alpha1 * (dz1 - m1_ref[0, :] - xhat1 * m1_ref[1, :])
+        # zero the W sublane-pad columns (dz1 is zero there; the BN mean
+        # terms are not) — keeps dWs taps clean AND reproduces the
+        # reference's zero column pad for the conv_s^T dx taps
+        mask = _w_mask(t * n_r * w, w, true_w)
+        if mask is not None:
+            dy1 = dy1 * mask
         return dy1.astype(dtype), xhat1
 
     for h0 in range(0, h, h_tile):
@@ -270,11 +310,18 @@ def sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2,
     """Returns (dx, dWs, dWt, dg1, db1, dg2, db2); math == _bwd_reference."""
     bsz, t, h, w, cc = x.shape
     f = ws.shape[-1]
-    dims = (t, h, w, cc, f)
     if h_tile is None:
         h_tile = plan_tiles(x.shape, f)
         assert h_tile is not None, (x.shape, f)
-    n = bsz * t * h * w
+    n = bsz * t * h * w          # the TRUE BN element count (pre-pad)
+    true_w, wp = w, _padded_w(w)
+    x_shape_true = x.shape
+    if wp != w:                  # sublane-pad W (see module docstring)
+        padw = ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0))
+        x = jnp.pad(x, padw)
+        g = jnp.pad(g, padw)
+        w = wp
+    dims = (t, h, w, cc, f)
     rs1 = jax.lax.rsqrt(var1 + _EPS)
     rs2 = jax.lax.rsqrt(var2 + _EPS)
     consts = jnp.stack([mu1, rs1, g1, b1, mu2, rs2, g2, b2]
@@ -304,7 +351,8 @@ def sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2,
     m2 = s2 / n
 
     dz1, dwt, s1 = pl.pallas_call(
-        functools.partial(_k2_mid, dims=dims, h_tile=h_tile, dtype=dtype),
+        functools.partial(_k2_mid, dims=dims, h_tile=h_tile, dtype=dtype,
+                          true_w=true_w),
         grid=(bsz,),
         in_specs=[el_spec(cc), el_spec(f), full(ws.shape), full(wt.shape),
                   full(consts.shape), full((2, f))],
@@ -320,7 +368,7 @@ def sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2,
 
     dx, dws = pl.pallas_call(
         functools.partial(_k3_input_grads, dims=dims, h_tile=h_tile,
-                          dtype=dtype),
+                          dtype=dtype, true_w=true_w),
         grid=(bsz,),
         in_specs=[el_spec(cc), el_spec(f), full(ws.shape),
                   full(consts.shape), full((2, f))],
@@ -331,6 +379,8 @@ def sepconv_bwd_pallas(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2, var2,
         interpret=interpret,
     )(xc, dz1, wsc, consts, m1)
 
+    if w != true_w:              # drop the W sublane-pad columns again
+        dx = jax.lax.slice(dx, (0,) * 5, x_shape_true)
     return (dx, dws.reshape(1, 3, 3, cc, f).astype(ws.dtype),
             dwt.reshape(3, 1, 1, f, f).astype(wt.dtype),
             s1[1].astype(g1.dtype), s1[0].astype(b1.dtype),

@@ -22,6 +22,13 @@ dy1 halo rows that fall outside the image (those rows do not exist;
 their dz1 is zero but their BN backward mean terms are not).  All slab
 offsets are static python-loop constants, so every DMA has static shape.
 
+Like the resident kernels, W is zero-padded to the native sublane tile
+before the kernels run (the r3 Mosaic reshape blocker — see
+sepconv_bwd's module docstring): the BN-backward mean terms that
+broadcast into pad columns are masked at the two accumulation feeds
+(dy2, dy1), the BN count ``n`` stays the TRUE element count, and dx pad
+columns are sliced off at the end.
+
 Math and cast points are identical to sepconv_bwd's resident kernels and
 ``_bwd_reference`` (the CPU/test oracle); tests/test_fused_sepconv.py
 pins interpret-mode equality including multi-slab edge cases."""
@@ -35,8 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sepconv_bwd import (_EPS, _VMEM_BUDGET, _slab_to_z2,
-                          _taps_spatial, _taps_temporal)
+from .sepconv_bwd import (_EPS, _VMEM_BUDGET, _padded_w, _slab_to_z2,
+                          _taps_spatial, _taps_temporal, _w_mask)
 
 
 def _ws_grid(t, h, w, c, f, ht, dsize=2) -> int:
@@ -53,10 +60,12 @@ def _ws_grid(t, h, w, c, f, ht, dsize=2) -> int:
 
 
 def plan_grid(x_shape, f_out) -> int | None:
-    """Largest H-divisor slab height whose working set fits VMEM."""
+    """Largest H-divisor slab height whose working set fits VMEM.
+    Plans at the SUBLANE-PADDED width the kernels actually run at."""
     _, t, h, w, c = x_shape
+    wp = _padded_w(w)
     for ht in [d for d in range(h, 0, -1) if h % d == 0]:
-        if _ws_grid(t, h, w, c, f_out, ht) <= _VMEM_BUDGET:
+        if _ws_grid(t, h, wp, c, f_out, ht) <= _VMEM_BUDGET:
             return ht
     return None
 
@@ -136,7 +145,7 @@ def _k1g(xh, gh, ws_ref, wt_ref, c_ref, out_ref, acc, xs, gs, semx, semg,
 
 def _k2g(xh, gh, ws_ref, wt_ref, c_ref, m2_ref, dz1h, dwt_ref, s1_ref,
          dwt_acc, s1_acc, xs, gs, dzs, zrow, semx, semg, semo, semz,
-         *, dims, ht, dtype):
+         *, dims, ht, dtype, true_w):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -177,6 +186,11 @@ def _k2g(xh, gh, ws_ref, wt_ref, c_ref, m2_ref, dz1h, dwt_ref, s1_ref,
         gf = gs[slot].reshape(rows, f).astype(jnp.float32)
         dz2 = jnp.where(z2 > 0, gf, 0.0)
         dy2 = alpha2 * (dz2 - m2_ref[0, :] - xhat2 * m2_ref[1, :])
+        # zero the W sublane-pad columns (dz2 is already zero there via the
+        # zero-padded cotangent, but the BN mean terms broadcast into them)
+        mask = _w_mask(rows, w, true_w)
+        if mask is not None:
+            dy2 = dy2 * mask
         dy2c = dy2.astype(dtype)
 
         ap = jnp.pad(a4, ((1, 1), (0, 0), (0, 0), (0, 0)))
@@ -208,7 +222,8 @@ def _k2g(xh, gh, ws_ref, wt_ref, c_ref, m2_ref, dz1h, dwt_ref, s1_ref,
 
 
 def _k3g(xh, dz1h, ws_ref, c_ref, m1_ref, dx_ref, dws_ref,
-         dws_acc, xs, ds1, dxs, semx, semd, semo, *, dims, ht, dtype):
+         dws_acc, xs, ds1, dxs, semx, semd, semo, *, dims, ht, dtype,
+         true_w):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -247,6 +262,12 @@ def _k3g(xh, dz1h, ws_ref, c_ref, m1_ref, dx_ref, dws_ref,
         xhat1e = (y1e - c[0]) * c[1]
         dz1e = ds1[slot].reshape(rows_e, f).astype(jnp.float32)
         dy1e = alpha1 * (dz1e - m1_ref[0, :] - xhat1e * m1_ref[1, :])
+        # zero the W sublane-pad columns (dz1 is zero there; the BN mean
+        # terms are not) — keeps dWs taps clean AND reproduces the
+        # reference's zero column pad for the conv_s^T dx taps
+        mask = _w_mask(rows_e, w, true_w)
+        if mask is not None:
+            dy1e = dy1e * mask
         # halo rows outside the image do not exist — zero their dy1
         # (their dz1 is already zero, but the BN mean terms are not);
         # h0 is a static loop constant, so the zeroing is static slices
@@ -296,12 +317,19 @@ def sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2,
     """Grid-slab variant of sepconv_bwd_pallas; identical return contract."""
     bsz, t, h, w, cc = x.shape
     f = ws.shape[-1]
-    dims = (t, h, w, cc, f)
     if h_tile is None:
         h_tile = plan_grid(x.shape, f)
         assert h_tile is not None, (x.shape, f)
     ht = h_tile
-    n = bsz * t * h * w
+    n = bsz * t * h * w          # the TRUE BN element count (pre-pad)
+    true_w, wp = w, _padded_w(w)
+    x_shape_true = x.shape
+    if wp != w:                  # sublane-pad W (see sepconv_bwd docstring)
+        padw = ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0))
+        x = jnp.pad(x, padw)
+        g = jnp.pad(g, padw)
+        w = wp
+    dims = (t, h, w, cc, f)
     rs1 = jax.lax.rsqrt(var1 + _EPS)
     rs2 = jax.lax.rsqrt(var2 + _EPS)
     consts = jnp.stack([mu1, rs1, g1, b1, mu2, rs2, g2, b2]
@@ -331,7 +359,8 @@ def sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2,
     m2 = s2 / n
 
     dz1h, dwt, s1 = pl.pallas_call(
-        functools.partial(_k2g, dims=dims, ht=ht, dtype=dtype),
+        functools.partial(_k2g, dims=dims, ht=ht, dtype=dtype,
+                          true_w=true_w),
         grid=(bsz,),
         in_specs=[hbm, hbm, vmem_full(ws.shape), vmem_full(wt.shape),
                   vmem_full(consts.shape), vmem_full((2, f))],
@@ -352,7 +381,8 @@ def sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2,
     m1 = s1 / n
 
     dx, dws = pl.pallas_call(
-        functools.partial(_k3g, dims=dims, ht=ht, dtype=dtype),
+        functools.partial(_k3g, dims=dims, ht=ht, dtype=dtype,
+                          true_w=true_w),
         grid=(bsz,),
         in_specs=[hbm, hbm, vmem_full(ws.shape), vmem_full(consts.shape),
                   vmem_full((2, f))],
@@ -367,6 +397,8 @@ def sepconv_bwd_pallas_grid(x, ws, wt, g1, b1, g2, b2, mu1, var1, mu2,
         interpret=interpret,
     )(xc, dz1h, wsc, consts, m1)
 
+    if w != true_w:              # drop the W sublane-pad columns again
+        dx = jax.lax.slice(dx, (0,) * 5, x_shape_true)
     return (dx, dws.reshape(1, 3, 3, cc, f).astype(ws.dtype),
             dwt.reshape(3, 1, 1, f, f).astype(wt.dtype),
             s1[1].astype(g1.dtype), s1[0].astype(b1.dtype),
