@@ -24,7 +24,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_cfg(regime: str, aug: bool, t: int, hw: int, feat_dim: int = 32):
+def make_cfg(regime: str, aug: bool, t: int, hw: int, feat_dim: int = 32,
+             graph_overrides=()):
     from video_graph_ssl_tpu.config import cfg as CFG
 
     c = CFG.clone()
@@ -42,6 +43,8 @@ def make_cfg(regime: str, aug: bool, t: int, hw: int, feat_dim: int = 32):
     c.CONTRAST.NCE_K = 16
     c.CROSS.FEAT_DIM = feat_dim
     c.TPU.COMPUTE_DTYPE = "float32"
+    if graph_overrides:
+        c.merge_from_list(list(graph_overrides))
     return c
 
 
@@ -53,19 +56,23 @@ def retrieval_top1(feats: np.ndarray, labels: np.ndarray) -> float:
 
 
 def run_one(regime: str, aug: bool, seed: int, epochs: int, t: int, hw: int,
-            per_class: int, lr: float, batch_size: int = 16):
+            per_class: int, lr: float, batch_size: int = 16,
+            graph_overrides=(), noise: float = 0.5, dataset: str = "shortcut"):
     import jax
     import jax.numpy as jnp
 
-    from video_graph_ssl_tpu.data.synthetic import temporal_motion_clips
+    from video_graph_ssl_tpu.data.synthetic import (temporal_motion_clips,
+                                                    temporal_shortcut_clips)
     from video_graph_ssl_tpu.engine import (create_pretrain_state,
                                             make_pretrain_step)
     from video_graph_ssl_tpu.models import create_visual_model
 
-    cfg = make_cfg(regime, aug, t, hw)
+    cfg = make_cfg(regime, aug, t, hw, graph_overrides=graph_overrides)
     cfg.MODEL.SEED = seed
-    clips, labels = temporal_motion_clips(per_class=per_class, t=t,
-                                          hw=(hw, hw), seed=seed)
+    make_clips = {"motion": temporal_motion_clips,
+                  "shortcut": temporal_shortcut_clips}[dataset]
+    clips, labels = make_clips(per_class=per_class, t=t,
+                               hw=(hw, hw), seed=seed, noise=noise)
     clips_j = jnp.asarray(clips)
     n = len(labels)
 
@@ -107,6 +114,17 @@ def main():
     ap.add_argument("--hw", type=int, default=16)
     ap.add_argument("--per_class", type=int, default=12)
     ap.add_argument("--lr", type=float, default=0.3)
+    ap.add_argument("--noise", type=float, default=0.5)
+    ap.add_argument("--dataset", choices=["shortcut", "motion"],
+                    default="shortcut",
+                    help="shortcut: order is an instance shortcut, content "
+                         "is the class signal (the GCA-favoring regime); "
+                         "motion: class signal IS the frame order (measured "
+                         "GCA-ADVERSE — graph mixing destroys the signal; "
+                         "kept as the negative control)")
+    ap.add_argument("--graph_opts", nargs="*", default=[],
+                    help="config overrides for the AUG_FLAG=True arm only, "
+                         "e.g. --graph_opts GRAPH.SAMPLER gaussian")
     args = ap.parse_args()
 
     for regime in args.regimes:
@@ -116,7 +134,9 @@ def main():
             for aug in (True, False):
                 t0 = time.perf_counter()
                 r = run_one(regime, aug, seed, args.epochs, args.t, args.hw,
-                            args.per_class, args.lr)
+                            args.per_class, args.lr,
+                            graph_overrides=args.graph_opts if aug else (),
+                            noise=args.noise, dataset=args.dataset)
                 r["sec"] = time.perf_counter() - t0
                 row[aug] = r
             margin = row[True]["after"] - row[False]["after"]

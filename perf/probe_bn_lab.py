@@ -84,9 +84,13 @@ def main():
                          "label": jnp.zeros(bsz, jnp.int32),
                          "index": jnp.asarray(idx, jnp.int32)}
                 ssl_state, _m = pre_step(ssl_state, batch, 0.3)
-        ssl_sd = {"params": serialization.to_state_dict(ssl_state.params),
-                  "batch_stats":
-                      serialization.to_state_dict(ssl_state.batch_stats)}
+        # host-numpy snapshot: the probe steps donate their state, and
+        # donation DELETES buffers shared with this dict between modes
+        ssl_sd = jax.tree.map(
+            np.asarray,
+            {"params": serialization.to_state_dict(ssl_state.params),
+             "batch_stats":
+                 serialization.to_state_dict(ssl_state.batch_stats)})
 
         # --- two probes from the SAME frozen encoder
         results = {}

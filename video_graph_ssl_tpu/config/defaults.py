@@ -38,7 +38,11 @@ _C.MODEL.LINEAR_PROBE = False
 #                 statistics and updating its running stats, the rest are
 #                 frozen — the reference's VideoModelWrapper.train()
 #                 override (model_wrappers.py:130-146).
-# Measured A/B on the temporal-motion probe set: perf/probe_bn_lab.py.
+# Measured A/B (perf/probe_bn_lab.py, temporal-motion probe set, 08-19,
+# 2 seeds): 'reference' fits train harder (93.8/100 vs 68.8/100 top1) but
+# LOSES 12.5-16.7 val points to 'eval' at probe batch 16 — the live first
+# BN overfits batch statistics.  Default stays 'eval'; 'reference' remains
+# available for strict-parity runs.
 _C.MODEL.PROBE_BN = "eval"
 
 # ---------------------------------------------------------------------------- #

@@ -59,10 +59,12 @@ def temporal_motion_clips(
     color mixing + pixel noise; the two views of a clip share ONLY the
     motion pattern.
 
-    This is the probe set for the GCA claim (reference README.md:48-58:
-    the graph-composed augmentation beats plain MoCo-video): a model that
-    reasons over frame relations should separate these classes better than
-    one that does not.
+    Measured role: the GCA **negative control** (perf/graph_benefit_lab.py
+    ``--dataset motion``).  When the class signal IS the frame order, the
+    graph augmentation's stochastic temporal recomposition destroys the
+    signal and the graph arm loses retrieval by 0.13-0.42 across samplers
+    and temperatures (TPU, 08-19) — exactly the behavior the mechanism
+    predicts.  The positive probe set is ``temporal_shortcut_clips``.
 
     Returns ``(clips, labels)``: (N, 2, T, H, W, 3) float32, (N,) int.
     """
@@ -91,6 +93,71 @@ def temporal_motion_clips(
         vy, vx = MOTION_VELS[c % len(MOTION_VELS)]
         for _ in range(per_class):
             clips.append(np.stack([blob_view(vy, vx), blob_view(vy, vx)]))
+            labels.append(c)
+    return np.stack(clips), np.asarray(labels)
+
+
+def temporal_shortcut_clips(
+    per_class: int = 12,
+    t: int = 8,
+    hw: Tuple[int, int] = (16, 16),
+    seed: int = 0,
+    noise: float = 0.5,
+    n_classes: int = 4,
+    k_protos: int = 4,
+):
+    """Clips where temporal ORDER is an instance shortcut and CONTENT is
+    the class signal — the probe set for the GCA mechanism.
+
+    Class ``c`` owns ``k_protos`` prototype frame patterns.  A clip is a
+    per-clip random arrangement of its class's prototypes over T frames;
+    the clip's two views share that arrangement (plus independent pixel
+    noise and color gain).  Consequences for contrastive pretraining:
+
+      * same-class clips share CONTENT (the prototype set) and differ only
+        in ARRANGEMENT — so InfoNCE can separate these hard negatives only
+        through temporal-order features;
+      * class retrieval over encoder features rewards CONTENT.
+
+    A plain encoder is therefore pushed toward order features (hurting
+    class retrieval), while the graph-composed augmentation
+    (TemporalGraphAug) stochastically recomposes temporal relations,
+    making the order shortcut unreliable and steering features toward
+    content — the reference paper's claim (README.md:48-58) in
+    synthetic, executable form.
+
+    Returns ``(clips, labels)``: (N, 2, T, H, W, 3) float32, (N,) int.
+    """
+    h, w = hw
+    g = np.random.default_rng(seed)
+    yy = np.linspace(0, 2 * np.pi, h, endpoint=False)
+    xx = np.linspace(0, 2 * np.pi, w, endpoint=False)
+
+    # smooth, well-separated prototypes: random low-frequency sinusoid mixes
+    def proto():
+        img = np.zeros((h, w, 3))
+        for _ in range(3):
+            fy, fx = g.integers(1, 4, 2)
+            phase = g.uniform(0, 2 * np.pi, 2)
+            amp = g.uniform(0.8, 1.6, 3)
+            img += (np.sin(fy * yy[:, None] + phase[0])
+                    * np.sin(fx * xx[None, :] + phase[1]))[..., None] * amp
+        return img
+
+    protos = np.stack([np.stack([proto() for _ in range(k_protos)])
+                       for _ in range(n_classes)])  # (C, K, H, W, 3)
+
+    clips, labels = [], []
+    for c in range(n_classes):
+        for _ in range(per_class):
+            seq = g.integers(0, k_protos, t)          # the clip's arrangement
+            views = []
+            for _v in range(2):
+                gain = g.uniform(0.7, 1.3, 3)
+                frames = protos[c, seq] * gain
+                frames = frames + g.normal(0.0, noise, frames.shape)
+                views.append(frames.astype(np.float32))
+            clips.append(np.stack(views))
             labels.append(c)
     return np.stack(clips), np.asarray(labels)
 
