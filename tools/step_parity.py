@@ -52,6 +52,11 @@ training recipes are indistinguishable at this scale, and any recipe bug
 (wrong decay mask, momentum, lr grouping, loss sign, EMA/queue order:
 all O(1) signals) is excluded.
 
+Longer-horizon check (08-19, moco, 8 steps, batch 16): tracking stays
+tight while chaos grows — ours-vs-reference 0.107 vs control 0.322.  A
+recipe bug compounds with horizon; lockstep tracking that HOLDS at 8
+steps under doubled batch is much stronger evidence than the 3-step run.
+
 Run (CPU, ~4-8 min each):
     PYTHONPATH= JAX_PLATFORMS=cpu python tools/step_parity.py --steps 3
     PYTHONPATH= JAX_PLATFORMS=cpu python tools/step_parity.py --regime moco --steps 3
