@@ -268,10 +268,8 @@ class TemporalGraphAug(nn.Module):
         b, t, hh, ww, c = x.shape
         inter = self.inter_channels or max(c // 2, 1)
 
-        g_q = self._embed(x, "g_q", inter, train)
+        g_q = self._embed(x, "g_q", inter, train)   # (b,t,h',w',c')
         g_k = self._embed(x, "g_k", inter, train)
-        g_q = g_q.reshape(b, t, -1)
-        g_k = g_k.reshape(b, t, -1)
 
         theta = jnp.asarray(hop_weight_matrix(t, self.max_hop, self.alpha))
         sampling = train and self.sampler != "none"
@@ -289,11 +287,18 @@ class TemporalGraphAug(nn.Module):
                 ).astype(jnp.float32)
             else:
                 seed = jnp.float32(0.0)
-            adj = graph_adjacency(g_q, g_k, theta, seed,
+            adj = graph_adjacency(g_q.reshape(b, t, -1),
+                                  g_k.reshape(b, t, -1), theta, seed,
                                   self.temperature, sampling)
         else:
+            # Contract (h,w,c) directly instead of reshaping to (b,t,d):
+            # the flatten relaminates the lane dim (c -> hwc) and costs a
+            # relayout copy of both embeds per block (profiled r4: the graph
+            # block's largest overhead family was `copy`, +2.5 ms/step).
+            # dot_general handles multiple contracting dims natively.
             sim = jnp.einsum(
-                "bid,bjd->bij", g_q, g_k, preferred_element_type=jnp.float32
+                "bihwc,bjhwc->bij", g_q, g_k,
+                preferred_element_type=jnp.float32,
             )
             if self.mask_frame and 0 < self.nei_size < t:
                 # Static trace-time band mask: -inf outside |i-j| < nei_size
