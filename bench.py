@@ -102,10 +102,17 @@ def _measure(cfg, batch_size: int, on_tpu: bool) -> float:
     }
     batch = shard_batch(batch, mesh)
 
+    # Device-resident lr scalar — same resident-input policy as the batch.
+    # Measured neutral vs a per-call python float (GCA 1276.3 vs 1276.7
+    # clips/s, 08-19): the per-step scalar DevicePut the profile shows
+    # (~2.7 ms device-trace) already overlaps under async dispatch. Kept
+    # because it is strictly less per-step host work.
+    lr = jax.device_put(np.float32(0.06))
+
     # warmup / compile (value fetch = hard sync; block_until_ready is not
     # reliable on relayed remote backends)
     for _ in range(3):
-        state, metrics = step(state, batch, 0.06)
+        state, metrics = step(state, batch, lr)
     float(metrics["loss"])
 
     # Six timed windows (~2 s each), best one reported: the relay between
@@ -120,7 +127,7 @@ def _measure(cfg, batch_size: int, on_tpu: bool) -> float:
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
-            state, metrics = step(state, batch, 0.06)
+            state, metrics = step(state, batch, lr)
         float(metrics["loss"])
         best = min(best, time.perf_counter() - t0)
     del state, step, batch
