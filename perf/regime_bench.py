@@ -147,6 +147,9 @@ REGIMES = {
     # False 08-18 after two full-step sweeps showed XLA a hair ahead)
     "moco+graph": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "False"],
     "moco+graph-pal": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "True"],
+    # layout-native GCN propagation kernel (ops/pallas/gcn_propagate.py)
+    "moco+graph-prop": ["MODEL.AUG_FLAG", "True",
+                        "GRAPH.PROPAGATE_PALLAS", "True"],
     # inference rows (VERDICT r3 item 8): eval logits / retrieval features
     "eval": "eval",
     "features": "features",

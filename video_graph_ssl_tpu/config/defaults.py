@@ -193,6 +193,15 @@ _C.GRAPH.NEI_SIZE = 0                    # <=0: full sequence (no masking)
 # XLA on non-TPU platforms and non-relaxed_bernoulli samplers.
 _C.GRAPH.USE_PALLAS = False
 
+# Layout-native Pallas kernel for the GCN frame-axis propagation
+# (ops/pallas/gcn_propagate.py): performs the (T,T)x(T,HWC) contraction in
+# VMEM reading/writing the conv (W,C) tiling directly, avoiding the HBM
+# relayout copies XLA pays to collapse (h,w,c) for the batched matmul.
+# Exact same math (fp32 accumulation, bf16-cast adjacency).  Default is set
+# by full-step chip measurement each round (perf ledger in
+# NOTES_NEXT_ROUND.md).  Auto-falls back to the XLA einsum off-TPU.
+_C.GRAPH.PROPAGATE_PALLAS = False
+
 # ---------------------------------------------------------------------------- #
 # TPU-native runtime knobs (no reference counterpart)
 # ---------------------------------------------------------------------------- #

@@ -120,6 +120,7 @@ def graph_cfg_from(cfg) -> Dict[str, Any]:
         mask_frame=g.MASK_FRAME,
         nei_size=g.NEI_SIZE,
         use_pallas=g.USE_PALLAS,
+        propagate_pallas=g.PROPAGATE_PALLAS,
     )
 
 

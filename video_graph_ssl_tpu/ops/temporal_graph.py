@@ -166,6 +166,7 @@ class GCN(nn.Module):
     features: int
     use_bias: bool = False
     skip: bool = True
+    propagate_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -180,12 +181,21 @@ class GCN(nn.Module):
             param_dtype=self.param_dtype,
             name="transform",
         )(x)
-        # (B,T,T) x (B,T,H,W,C) over the frame axis — a batched matmul the
-        # MXU eats whole (T<=32 so the adjacency tile lives in VMEM/registers).
-        out = jnp.einsum(
-            "bij,bjhwc->bihwc", adj.astype(support.dtype), support,
-            preferred_element_type=jnp.float32,
-        ).astype(support.dtype)
+        if self.propagate_pallas and jax.devices()[0].platform == "tpu":
+            # Layout-native VMEM propagation kernel: avoids the HBM relayout
+            # XLA pays to collapse (h,w,c) for the batched matmul (see
+            # ops/pallas/gcn_propagate.py).  Same math, fp32 accumulation.
+            from .pallas.gcn_propagate import gcn_propagate
+
+            out = gcn_propagate(adj, support)
+        else:
+            # (B,T,T) x (B,T,H,W,C) over the frame axis — a batched matmul
+            # the MXU eats whole (T<=32 so the adjacency tile lives in
+            # VMEM/registers).
+            out = jnp.einsum(
+                "bij,bjhwc->bihwc", adj.astype(support.dtype), support,
+                preferred_element_type=jnp.float32,
+            ).astype(support.dtype)
         if self.skip:
             out = out + support
         return out
@@ -234,6 +244,7 @@ class TemporalGraphAug(nn.Module):
     mask_frame: bool = False
     nei_size: int = 0
     use_pallas: bool = False
+    propagate_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -336,6 +347,7 @@ class TemporalGraphAug(nn.Module):
             x = GCN(
                 features=ch,
                 use_bias=self.use_bias,
+                propagate_pallas=self.propagate_pallas,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"gcn_{i}",
