@@ -147,9 +147,16 @@ REGIMES = {
     # False 08-18 after two full-step sweeps showed XLA a hair ahead)
     "moco+graph": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "False"],
     "moco+graph-pal": ["MODEL.AUG_FLAG", "True", "GRAPH.USE_PALLAS", "True"],
-    # layout-native GCN propagation kernel (ops/pallas/gcn_propagate.py)
+    # layout-native GCN propagation kernel (ops/pallas/gcn_propagate.py).
+    # NOTE r5: the kernel is gated on C % 128 == 0 (Mosaic rejects other
+    # widths — perf/CHIP_QUEUE_r05.jsonl), so in the S3D graph this row
+    # exercises it at aug idx9 (c=512) only; idx5/idx14 fall back to XLA.
     "moco+graph-prop": ["MODEL.AUG_FLAG", "True",
                         "GRAPH.PROPAGATE_PALLAS", "True"],
+    # paired PACK_POINTWISE re-judge on the GCA step (standing item:
+    # fresh default sweeps each round)
+    "moco+graph-nopack": ["MODEL.AUG_FLAG", "True",
+                          "TPU.PACK_POINTWISE", "False"],
     # inference rows (VERDICT r3 item 8): eval logits / retrieval features
     "eval": "eval",
     "features": "features",

@@ -10,6 +10,7 @@ import pytest
 from video_graph_ssl_tpu.ops.pallas.gcn_propagate import (
     gcn_propagate,
     propagate_xla,
+    supports_shape,
 )
 from video_graph_ssl_tpu.ops.temporal_graph import GCN
 
@@ -84,6 +85,26 @@ def test_compiled_kernel_matches_xla_on_tpu():
                                rtol=1e-2, atol=1e-2)
     np.testing.assert_allclose(np.asarray(dxk), np.asarray(dxx),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_supports_shape_gate():
+    """The Mosaic-compilability gate matches the r5 chip ledger: the kernel
+    compiles only for lane-aligned C (perf/CHIP_QUEUE_r05.jsonl — c=192 and
+    c=832 reject server-side, c=512 compiles).  The three S3D aug-point
+    shapes are pinned so a backbone change re-raises the question."""
+    assert supports_shape((256, 8, 14, 14, 512))        # idx9: compiles
+    assert not supports_shape((256, 16, 28, 28, 192))   # idx5: rejects
+    assert not supports_shape((256, 4, 7, 7, 832))      # idx14: rejects
+
+
+def test_gcn_module_gate_non_aligned_c_falls_back():
+    """GCN(propagate_pallas=True) with C % 128 != 0 must take the XLA path
+    even on TPU (the kernel would Mosaic-reject; ADVICE r4 item 1)."""
+    adj, x = _data(c=6, seed=7)
+    m = GCN(features=6, propagate_pallas=True, dtype=jnp.float32)
+    v = jax.jit(lambda x, a: m.init(jax.random.key(0), x, a))(x, adj)
+    o = jax.jit(lambda v, x, a: m.apply(v, x, a))(v, x, adj)
+    assert np.all(np.isfinite(np.asarray(o)))
 
 
 def test_gcn_module_gate_equivalence():

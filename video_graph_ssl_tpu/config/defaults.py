@@ -197,9 +197,11 @@ _C.GRAPH.USE_PALLAS = False
 # (ops/pallas/gcn_propagate.py): performs the (T,T)x(T,HWC) contraction in
 # VMEM reading/writing the conv (W,C) tiling directly, avoiding the HBM
 # relayout copies XLA pays to collapse (h,w,c) for the batched matmul.
-# Exact same math (fp32 accumulation, bf16-cast adjacency).  Default is set
-# by full-step chip measurement each round (perf ledger in
-# NOTES_NEXT_ROUND.md).  Auto-falls back to the XLA einsum off-TPU.
+# Exact same math (fp32 accumulation, bf16-cast adjacency).  Chip verdict
+# r5 (perf/CHIP_QUEUE_r05.jsonl): Mosaic rejects non-lane-aligned C (2 of 3
+# S3D aug points) and the lane-aligned point loses ~2x on fwd+bwd — premise
+# refuted; default stays OFF.  The kernel auto-falls back to the XLA einsum
+# off-TPU and for C % 128 != 0.
 _C.GRAPH.PROPAGATE_PALLAS = False
 
 # ---------------------------------------------------------------------------- #

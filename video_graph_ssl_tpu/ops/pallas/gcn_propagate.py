@@ -26,6 +26,17 @@ Backward (custom VJP):
                                                     directly (relayout-free,
                                                     same form as the fixed
                                                     similarity einsum)
+
+CHIP VERDICT (r5, perf/CHIP_QUEUE_r05.jsonl, 2026-08-20): the premise is
+REFUTED at production shapes.  Mosaic rejects the in-kernel reshape whenever
+C is not a lane-tile (128) multiple — which is 2 of the 3 S3D aug points
+(c=192 at idx5, c=832 at idx14); a reshape-free in-kernel 3D einsum hits the
+same reject.  At the one lane-aligned point (idx9, c=512) the forward wins
+(7.97 vs 9-10 ms) but fwd+bwd loses ~2x (12.76 vs 6.60 ms): the custom-VJP
+fusion boundary costs more than the relayout it avoids — the same failure
+mode as every prior local Pallas substitution (NOTES perf ledger).
+``supports_shape`` gates the kernel accordingly; ``GRAPH.PROPAGATE_PALLAS``
+stays default-off and the XLA einsum is the production path.
 """
 
 from __future__ import annotations
@@ -36,6 +47,15 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def supports_shape(x_shape) -> bool:
+    """Whether Mosaic compiles the kernel for this activation shape.
+
+    Chip-established (r5 ledger): the in-kernel (t,w,c)->(t,w*c) reshape is
+    rejected server-side unless C is a multiple of the 128-wide lane tile.
+    """
+    return int(x_shape[-1]) % 128 == 0
 
 
 def _propagate_kernel(adj_ref, x_ref, out_ref):

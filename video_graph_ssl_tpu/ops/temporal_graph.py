@@ -181,10 +181,15 @@ class GCN(nn.Module):
             param_dtype=self.param_dtype,
             name="transform",
         )(x)
-        if self.propagate_pallas and jax.devices()[0].platform == "tpu":
-            # Layout-native VMEM propagation kernel: avoids the HBM relayout
-            # XLA pays to collapse (h,w,c) for the batched matmul (see
-            # ops/pallas/gcn_propagate.py).  Same math, fp32 accumulation.
+        from .pallas.gcn_propagate import supports_shape
+
+        if (self.propagate_pallas and jax.devices()[0].platform == "tpu"
+                and supports_shape(support.shape)):
+            # Layout-native VMEM propagation kernel (ops/pallas/
+            # gcn_propagate.py).  Same math, fp32 accumulation.  Gated on
+            # C % 128 == 0 — Mosaic rejects other widths (r5 chip ledger),
+            # and default-off: at prod shapes the kernel's fwd+bwd loses ~2x
+            # to the XLA einsum (perf/CHIP_QUEUE_r05.jsonl).
             from .pallas.gcn_propagate import gcn_propagate
 
             out = gcn_propagate(adj, support)
