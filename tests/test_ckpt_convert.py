@@ -102,8 +102,38 @@ def test_detect_kind():
     assert detect_kind({"module.model.proj_head.head.0.weight": 0}) == "pretrain"
     assert detect_kind({"base_model.base.0.conv_s.weight": 0, "new_fc.weight": 0}) \
         == "downstream"
+    assert detect_kind({
+        "model_1.model.encoder.base_model.base.0.conv_s.weight": 0,
+        "model_2.model.encoder.base_model.base.0.conv_s.weight": 0,
+    }) == "cmc_pretrain"
     with pytest.raises(ValueError):
         detect_kind({"whatever.weight": 0})
+
+
+def test_cmc_convert_export_roundtrip():
+    """Two-stack CMC state_dict -> our CmcWrapper trees -> back: identical
+    names and values (the torch convention is model_{1,2}.<GraphWrapper
+    names>; the reference never composes a CMC model — its build dispatch
+    only selects the memories, lib/memory/build.py:5-13)."""
+    from video_graph_ssl_tpu.utils.ckpt_convert import (
+        convert_cmc_pretrain_sd, export_cmc_pretrain_to_torch)
+
+    sd = {}
+    for i, stack in enumerate(("model_1", "model_2")):
+        for k, v in _pretrain_sd(seed=30 + i).items():
+            sd[f"{stack}.{k}"] = v
+    params, stats = convert_cmc_pretrain_sd(sd, "s3d")
+    assert set(params) == {"model_1", "model_2"}
+    assert "encoder" in params["model_1"] and "proj_head" in params["model_2"]
+    # stacks keep their own weights (not accidentally shared)
+    a = params["model_1"]["proj_head"]["fc1"]["kernel"]
+    b = params["model_2"]["proj_head"]["fc1"]["kernel"]
+    assert not np.allclose(a, b)
+
+    back = export_cmc_pretrain_to_torch(params, stats)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(back[k], sd[k], rtol=1e-6, atol=1e-7)
 
 
 def test_proj_head_numpy_parity():

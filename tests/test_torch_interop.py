@@ -481,3 +481,26 @@ def test_graph_aug_split_convert_export_roundtrip():
     clean2, graphs2 = split_aug_wrapped_sd({"base.6.conv.weight": sd[
         "base.6.branch0.0.conv.weight"]})
     assert graphs2 == {} and len(clean2) == 1
+
+
+def test_graph_aug_export_sub_sample_false_roundtrip():
+    """GRAPH.SUB_SAMPLE=False drops the Sequential pool wrap, so torch
+    names are bare ``g_q.weight``; the export must honor the threaded flag
+    (ADVICE r4 item 2: the flag cannot be inferred from the tree — the pool
+    is parameter-free)."""
+    import numpy as np
+
+    from video_graph_ssl_tpu.utils.torch_interop import (
+        convert_torch_graph_aug, export_graph_aug_to_torch)
+
+    g = np.random.default_rng(13)
+    gsd = {
+        "g_q.weight": g.normal(size=(96, 192, 1, 1, 1)),
+        "g_k.weight": g.normal(size=(96, 192, 1, 1, 1)),
+        "gcns.0.conv.weight": g.normal(size=(192, 192, 1, 1, 1)),
+    }
+    params, stats = convert_torch_graph_aug(gsd)   # import auto-detects
+    back = export_graph_aug_to_torch(params, stats, sub_sample=False)
+    assert set(back) == set(gsd)
+    for k in gsd:
+        np.testing.assert_array_equal(back[k], gsd[k])

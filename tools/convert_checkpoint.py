@@ -66,7 +66,7 @@ def get_parser():
     p.add_argument("--output", default="", type=str,
                    help="output .msgpack path (with --torch_ckpt)")
     p.add_argument("--what", default="auto",
-                   choices=["auto", "pretrain", "downstream"])
+                   choices=["auto", "pretrain", "cmc_pretrain", "downstream"])
     p.add_argument("--checkpoint", default="", type=str,
                    help="our .msgpack/orbax checkpoint (with --to_torch)")
     p.add_argument("--to_torch", default="", type=str,
@@ -100,10 +100,19 @@ def convert_to_native(args, cfg) -> None:
         kind = detect_kind({k: None for k in sd})
         print(f"=> detected checkpoint kind: {kind}")
 
-    if kind == "pretrain":
+    if kind == "cmc_pretrain" and str(cfg.CROSS.MODALITY) == "visual":
+        raise ValueError(
+            "checkpoint has two CMC stacks (model_1/model_2) but the config "
+            "has CROSS.MODALITY=visual — pass the CMC config/overrides")
+    if kind in ("pretrain", "cmc_pretrain"):
         model, _ = create_visual_model(cfg)
         mem = payload.get("contrast") or {}
-        n_data = int(np.asarray(mem["memory"]).shape[0]) if "memory" in mem else 1
+        # bank: one memory row per dataset sample (CMC bank: memory_1/2)
+        n_data = 1
+        for mk in ("memory", "memory_1"):
+            if mk in mem:
+                n_data = int(np.asarray(mem[mk]).shape[0])
+                break
         state, _tx = create_pretrain_state(
             cfg, model, _example(cfg, cfg.CONTRAST.MEM_TYPE), n_data=n_data)
         state, notes = graft_pretrain_state(state, payload, cfg)
@@ -129,9 +138,18 @@ def convert_to_torch(args, cfg) -> None:
     params, stats = ssl_sd["params"], ssl_sd.get("batch_stats", {})
     if "model" in params:
         out_sd = export_pretrain_to_torch(
-            params, stats, str(cfg.CONTRAST.MEM_TYPE), str(cfg.CROSS.HEAD_TYPE))
+            params, stats, str(cfg.CONTRAST.MEM_TYPE), str(cfg.CROSS.HEAD_TYPE),
+            graph_sub_sample=bool(cfg.GRAPH.SUB_SAMPLE))
+    elif "model_1" in params:
+        from video_graph_ssl_tpu.utils.ckpt_convert import (
+            export_cmc_pretrain_to_torch)
+
+        out_sd = export_cmc_pretrain_to_torch(
+            params, stats, str(cfg.CROSS.HEAD_TYPE),
+            graph_sub_sample=bool(cfg.GRAPH.SUB_SAMPLE))
     elif "new_fc" in params:
-        out_sd = export_downstream_to_torch(params, stats)
+        out_sd = export_downstream_to_torch(
+            params, stats, graph_sub_sample=bool(cfg.GRAPH.SUB_SAMPLE))
     else:
         raise ValueError(f"unrecognized params layout: {sorted(params)}")
     payload = {

@@ -93,7 +93,13 @@ def build_cfg(args):
     c.MODEL.PRETRAINED = False
     c.INPUT.MODALITY = "RGB"
     c.INPUT.VIDEO_LENGTH = args.frames
-    c.CONTRAST.MEM_TYPE = args.regime
+    if args.regime == "cmc_moco":
+        # CMC: two-modality contrast (reference memory dispatch:
+        # lib/memory/build.py:5-13 — CMCMoCo when CROSS.MODALITY!='visual')
+        c.CONTRAST.MEM_TYPE = "moco"
+        c.CROSS.MODALITY = "diff"
+    else:
+        c.CONTRAST.MEM_TYPE = args.regime
     c.CONTRAST.NCE_K = 64
     c.CONTRAST.NCE_T = 0.07
     c.CONTRAST.NCE_M = 0.5
@@ -168,6 +174,100 @@ def _patch_reference_graph():
             super().__init__(*a, **kw)
 
     ref_build.VisualModelWrapper = _AugVisualModelWrapper
+
+
+def _np_temporal_diff(x: np.ndarray) -> np.ndarray:
+    """numpy twin of models.wrappers.temporal_diff (the modality-2 stream):
+    adjacent-frame differences along T, front-padded to preserve shape."""
+    d = x[:, 1:] - x[:, :-1]
+    return np.concatenate([d[:, :1], d], axis=1).astype(x.dtype)
+
+
+def run_reference_cmc(cfg, batches, steps, perturb=0.0, seed=0):
+    """N CMC-MoCo steps with the reference memory/criterion executed as
+    ground truth, composed the way the reference's build dispatch intends
+    (lib/memory/build.py:5-13 selects CMCMoCo when CROSS.MODALITY!='visual';
+    its tools never build the second encoder, so the model composition here
+    is the natural container: one GraphWrapper stack per modality, the
+    modality-2 stream being the temporal difference — matching our
+    models.wrappers.CmcWrapper).  Training order follows _train_moco
+    (tools/train_video_contrast_dis.py:374-466) with the four-stream CMCMoCo
+    forward (mem_moco.py:101-142): no-grad EMA keys k1/k2 from view 2,
+    query passes q1/q2 from view 1, loss = CE(logits1) + CE(logits2),
+    post-step EMA momentum update on both stacks."""
+    import torch
+    from torch import nn
+
+    sys.path.insert(0, REF_ROOT)
+    from lib.modeling.build import create_visual_model as ref_create
+    from lib.solver.build import make_optimizer as ref_make_optimizer
+
+    torch.Tensor.cuda = lambda self, *a, **kw: self  # CPU ground-truth run
+    from lib.memory.build import create_contrast, create_criterion
+
+    torch.manual_seed(seed)
+    container = nn.Module()
+    emas = {}
+    for stack in ("model_1", "model_2"):
+        m, e = ref_create(cfg)
+        setattr(container, stack, m)
+        with torch.no_grad():
+            for p1, p2 in zip(m.parameters(), e.parameters()):
+                p2.copy_(p1)
+        e.eval()
+        for mod in e.modules():
+            if "BatchNorm" in mod.__class__.__name__:
+                mod.train()
+        emas[stack] = e
+    container.train()
+    opt = ref_make_optimizer(cfg, container)
+    contrast = create_contrast(cfg, n_data=1)     # -> CMCMoCo
+    criterion = create_criterion(cfg, n_data=1)   # -> NCESoftmaxLoss
+
+    sd0 = {k: v.detach().clone().numpy()
+           for k, v in container.state_dict().items()}
+    payload0 = {
+        "state_dict": sd0,
+        "model_ema": {f"{s}.{k}": v.detach().clone().numpy()
+                      for s, e in emas.items()
+                      for k, v in e.state_dict().items()},
+        "contrast": {k: v.detach().clone().numpy()
+                     for k, v in contrast.state_dict().items()},
+    }
+
+    gp = np.random.default_rng(1234)
+    alpha = float(cfg.CONTRAST.ALPHA)
+    losses = []
+    for i in range(steps):
+        x1, x2 = batches[i]
+        if perturb:
+            x1 = x1 * (1 + perturb * gp.normal(size=x1.shape)
+                       ).astype(np.float32)
+            x2 = x2 * (1 + perturb * gp.normal(size=x2.shape)
+                       ).astype(np.float32)
+
+        def to_t(x):
+            return torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
+
+        with torch.no_grad():
+            k1 = emas["model_1"](to_t(x2))
+            k2 = emas["model_2"](to_t(_np_temporal_diff(x2)))
+        opt.zero_grad()
+        q1 = container.model_1(to_t(x1))
+        q2 = container.model_2(to_t(_np_temporal_diff(x1)))
+        out1, out2, _labels = contrast(q1, k1, q2, k2)
+        loss = criterion(out1) + criterion(out2)
+        loss.backward()
+        opt.step()
+        with torch.no_grad():
+            for stack in ("model_1", "model_2"):
+                for p1, p2 in zip(getattr(container, stack).parameters(),
+                                  emas[stack].parameters()):
+                    p2.mul_(alpha).add_(p1, alpha=1.0 - alpha)
+        losses.append(float(loss.detach()))
+    sd_after = {k: v.detach().clone().numpy()
+                for k, v in container.state_dict().items()}
+    return np.asarray(losses), payload0, sd_after
 
 
 def run_reference(cfg, batches, steps, perturb=0.0, seed=0,
@@ -317,6 +417,7 @@ def run_ours(cfg, payload0, batches, steps, fixed_neg_idx=None):
     # simsiam models take the views axis; moco/bank encoders take one view
     # (engine/build.py: create_pretrain_state docstring)
     mem_type = str(cfg.CONTRAST.MEM_TYPE)
+    cmc = str(cfg.CROSS.MODALITY) != "visual"
     n_data = b if mem_type == "bank" else 1
     example = np.zeros(
         (b, 2, t, *hw, 3) if mem_type == "simsiam"
@@ -356,18 +457,23 @@ def run_ours(cfg, payload0, batches, steps, fixed_neg_idx=None):
 
     from flax import serialization
 
-    from video_graph_ssl_tpu.utils.ckpt_convert import export_pretrain_to_torch
+    from video_graph_ssl_tpu.utils.ckpt_convert import (
+        export_cmc_pretrain_to_torch, export_pretrain_to_torch)
 
-    sd_after = export_pretrain_to_torch(
-        serialization.to_state_dict(state.params),
-        serialization.to_state_dict(state.batch_stats),
-        str(cfg.CONTRAST.MEM_TYPE))
+    p_after = serialization.to_state_dict(state.params)
+    s_after = serialization.to_state_dict(state.batch_stats)
+    if cmc:
+        sd_after = export_cmc_pretrain_to_torch(p_after, s_after)
+    else:
+        sd_after = export_pretrain_to_torch(p_after, s_after,
+                                            str(cfg.CONTRAST.MEM_TYPE))
     return np.asarray(losses), sd_after
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--regime", choices=["simsiam", "moco", "bank"],
+    ap.add_argument("--regime",
+                    choices=["simsiam", "moco", "bank", "cmc_moco"],
                     default="simsiam")
     ap.add_argument("--aug", action="store_true",
                     help="MODEL.AUG_FLAG=True: lockstep through the GCA "
@@ -409,11 +515,17 @@ def main(argv=None):
         0, args.batch, (args.batch, int(cfg.CONTRAST.NCE_K) + 1)
     ).astype(np.int64) if args.regime == "bank" else None
 
-    ref_losses, payload0, ref_after = run_reference(
-        cfg, batches, args.steps, fixed_neg_idx=fixed_neg_idx)
-    ctl_losses, _p0c, ctl_after = run_reference(
-        cfg, batches, args.steps, perturb=args.control_eps,
-        fixed_neg_idx=fixed_neg_idx)
+    if args.regime == "cmc_moco":
+        ref_losses, payload0, ref_after = run_reference_cmc(
+            cfg, batches, args.steps)
+        ctl_losses, _p0c, ctl_after = run_reference_cmc(
+            cfg, batches, args.steps, perturb=args.control_eps)
+    else:
+        ref_losses, payload0, ref_after = run_reference(
+            cfg, batches, args.steps, fixed_neg_idx=fixed_neg_idx)
+        ctl_losses, _p0c, ctl_after = run_reference(
+            cfg, batches, args.steps, perturb=args.control_eps,
+            fixed_neg_idx=fixed_neg_idx)
     our_losses, our_after = run_ours(cfg, payload0, batches, args.steps,
                                      fixed_neg_idx=fixed_neg_idx)
     sd0 = payload0["state_dict"]

@@ -182,15 +182,59 @@ def convert_downstream_sd(
 
 
 def detect_kind(sd: Dict[str, np.ndarray]) -> str:
-    """'pretrain' (GraphWrapper roots) vs 'downstream' (VideoModelWrapper)."""
+    """'pretrain' (GraphWrapper roots) vs 'cmc_pretrain' (two-stack CMC) vs
+    'downstream' (VideoModelWrapper)."""
     roots = {k.split(".")[0] for k in sd}
     if roots == {"module"}:
         roots = {k.split(".")[1] for k in sd}
     if "model" in roots:
         return "pretrain"
+    if {"model_1", "model_2"} <= roots:
+        return "cmc_pretrain"
     if "base_model" in roots:
         return "downstream"
     raise ValueError(f"unrecognized checkpoint layout; roots={sorted(roots)}")
+
+
+def convert_cmc_pretrain_sd(
+    sd: Dict[str, np.ndarray],
+    backbone: str,
+    head_type: str = "mlp",
+) -> Tuple[dict, dict]:
+    """Two-stack CMC state_dict -> subtrees for models.wrappers.CmcWrapper.
+
+    The reference never composes a CMC *model* (its tools never build the
+    second encoder; lib/memory/build.py:5-13 only dispatches the memories),
+    so the torch naming convention here is the natural container one —
+    ``model_{1,2}.<GraphWrapper names>`` (i.e. ``model_1.model.encoder...``)
+    — which is also what :func:`export_cmc_pretrain_to_torch` emits."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+    for stack in ("model_1", "model_2"):
+        sub = _sub(sd, stack + ".")
+        if not sub:
+            raise ValueError(f"no '{stack}.' keys in CMC state_dict")
+        p, s = convert_pretrain_sd(sub, backbone, "moco", head_type)
+        params[stack] = p["model"]
+        stats[stack] = s["model"]
+    return params, stats
+
+
+def export_cmc_pretrain_to_torch(
+    params: dict, stats: dict, head_type: str = "mlp",
+    graph_sub_sample: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_cmc_pretrain_sd` (S3D backbone)."""
+    out: Dict[str, np.ndarray] = {}
+    for stack in ("model_1", "model_2"):
+        sub = export_pretrain_to_torch(
+            {"model": params[stack]}, {"model": stats[stack]},
+            mem_type="moco", head_type=head_type,
+            graph_sub_sample=graph_sub_sample)
+        out.update({f"{stack}.{k}": v for k, v in sub.items()})
+    return out
 
 
 # --------------------------------------------------------------------------- #
@@ -229,19 +273,28 @@ def graft_pretrain_state(state, payload: Dict[str, Any], cfg):
     sd = _to_numpy_sd(payload.get("state_dict", payload))
 
     notes = {"optimizer": "reinitialized"}
-    p, s = convert_pretrain_sd(sd, backbone, mem_type, head_type)
+    is_cmc = str(cfg.CROSS.MODALITY) != "visual"
+    if is_cmc:
+        p, s = convert_cmc_pretrain_sd(sd, backbone, head_type)
+        convert = lambda d: convert_cmc_pretrain_sd(d, backbone, head_type)  # noqa: E731
+        stacks = ("model_1", "model_2")
+    else:
+        p, s = convert_pretrain_sd(sd, backbone, mem_type, head_type)
+        convert = lambda d: convert_pretrain_sd(d, backbone, mem_type,  # noqa: E731
+                                                head_type)
+        stacks = ("model",)
     params = dict(state.params)
-    params["model"] = graft_like(state.params["model"], p["model"], "params.model")
     stats = dict(state.batch_stats)
-    stats["model"] = graft_like(state.batch_stats["model"], s["model"],
-                                 "batch_stats.model")
+    for st in stacks:
+        params[st] = graft_like(state.params[st], p[st], f"params.{st}")
+        stats[st] = graft_like(state.batch_stats[st], s[st],
+                               f"batch_stats.{st}")
     state = state.replace(params=params, batch_stats=stats)
 
     if state.ema_params is not None:
         ema_sd = payload.get("model_ema")
         if ema_sd is not None:
-            ep, es = convert_pretrain_sd(_to_numpy_sd(ema_sd), backbone,
-                                         mem_type, head_type)
+            ep, es = convert(_to_numpy_sd(ema_sd))
             notes["model_ema"] = "converted"
         else:
             # reference initializes the EMA encoder as a copy when absent
@@ -256,6 +309,30 @@ def graft_pretrain_state(state, payload: Dict[str, Any], cfg):
     contrast_sd = payload.get("contrast")
     if state.contrast is not None and contrast_sd:
         contrast_sd = _to_numpy_sd(contrast_sd)
+        if is_cmc and "memory_1" in contrast_sd:
+            # CMC dual memories (reference: CMCMoCo registers memory_1/
+            # memory_2, mem_moco.py:95-99; CMCMem likewise, mem_bank.py:
+            # 100-105) -> our queue_1/queue_2 or memory_1/memory_2 fields.
+            import jax.numpy as jnp
+            field = "queue_1" if hasattr(state.contrast, "queue_1") \
+                else "memory_1"
+            tmpl = getattr(state.contrast, field)
+            if tuple(tmpl.shape) == tuple(np.asarray(
+                    contrast_sd["memory_1"]).shape):
+                reps = {
+                    field: jnp.asarray(contrast_sd["memory_1"], tmpl.dtype),
+                    field.replace("_1", "_2"): jnp.asarray(
+                        contrast_sd["memory_2"], tmpl.dtype),
+                }
+                state = state.replace(
+                    contrast=state.contrast._replace(**reps))
+                notes["contrast"] = f"converted (memory_1/2 -> {field}/_2)"
+            else:
+                notes["contrast"] = (
+                    f"kept template init (shape mismatch: ours "
+                    f"{tuple(tmpl.shape)} vs source "
+                    f"{np.asarray(contrast_sd['memory_1']).shape})")
+            return state, notes
         mem = contrast_sd.get("memory")
         if mem is None:
             notes["contrast"] = ("kept template init (no 'memory' buffer in "
@@ -367,12 +444,15 @@ def _bn1d_to_torch(out, name: str, p: dict, s: dict) -> None:
 
 def export_pretrain_to_torch(
     params: dict, stats: dict, mem_type: str, head_type: str = "mlp",
+    graph_sub_sample: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Our SSL params/batch_stats -> reference GraphWrapper state_dict
-    names (S3D backbone). Inverse of :func:`convert_pretrain_sd`."""
+    names (S3D backbone). Inverse of :func:`convert_pretrain_sd`.
+    ``graph_sub_sample`` = GRAPH.SUB_SAMPLE of the graph blocks, if any."""
     mp, ms = params["model"], stats["model"]
     enc = export_s3d_to_torch_names(mp["encoder"]["base_model"],
-                                    ms["encoder"]["base_model"])
+                                    ms["encoder"]["base_model"],
+                                    graph_sub_sample=graph_sub_sample)
     out = {f"model.encoder.base_model.{k}": v for k, v in enc.items()}
     if mem_type == "simsiam":
         for l in ("l1", "l2", "l3"):
@@ -391,11 +471,14 @@ def export_pretrain_to_torch(
     return out
 
 
-def export_downstream_to_torch(params: dict, stats: dict) -> Dict[str, np.ndarray]:
+def export_downstream_to_torch(
+    params: dict, stats: dict, graph_sub_sample: bool = True,
+) -> Dict[str, np.ndarray]:
     """Our downstream params/batch_stats -> reference VideoModelWrapper
     state_dict names (S3D backbone)."""
     enc = export_s3d_to_torch_names(params["encoder"]["base_model"],
-                                    stats["encoder"]["base_model"])
+                                    stats["encoder"]["base_model"],
+                                    graph_sub_sample=graph_sub_sample)
     out = {f"base_model.{k}": v for k, v in enc.items()}
     _dense_to_torch(out, "new_fc", params["new_fc"])
     return out

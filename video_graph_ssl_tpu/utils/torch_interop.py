@@ -141,9 +141,16 @@ def convert_torch_s3d(
     return params, stats
 
 
-def export_s3d_to_torch_names(params: dict, stats: dict) -> Dict[str, np.ndarray]:
+def export_s3d_to_torch_names(
+    params: dict, stats: dict, graph_sub_sample: bool = True,
+) -> Dict[str, np.ndarray]:
     """Inverse mapping: our S3D tree -> reference-named state_dict (numpy),
-    for the checkpoint-key compatibility requirement."""
+    for the checkpoint-key compatibility requirement.
+
+    ``graph_sub_sample`` mirrors the graph block's GRAPH.SUB_SAMPLE config
+    (the reference nests the q/k convs in a Sequential with the pool, which
+    shifts torch key names; the pool itself is parameter-free so it cannot
+    be inferred from the tree — thread the config, ADVICE r4 item 2)."""
     out: Dict[str, np.ndarray] = {}
 
     def put_convbn(prefix_conv, prefix_bn, p, s):
@@ -194,7 +201,8 @@ def export_s3d_to_torch_names(params: dict, stats: dict) -> Dict[str, np.ndarray
         for i in aug_idxs:
             g = export_graph_aug_to_torch(
                 params[f"graph_aug_{i}"],
-                (stats or {}).get(f"graph_aug_{i}", {}))
+                (stats or {}).get(f"graph_aug_{i}", {}),
+                sub_sample=graph_sub_sample)
             for k, v in g.items():
                 wrapped[f"base.{i}.0.{k}"] = v
         out = wrapped
