@@ -15,6 +15,7 @@ Pinned margins feed tests/test_graph_benefit.py.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -125,8 +126,15 @@ def main():
     ap.add_argument("--graph_opts", nargs="*", default=[],
                     help="config overrides for the AUG_FLAG=True arm only, "
                          "e.g. --graph_opts GRAPH.SAMPLER gaussian")
+    ap.add_argument("--jsonl", default="",
+                    help="append one JSON record per regime/seed pair to "
+                         "this path (the committed evidence artifact "
+                         "tests/test_graph_benefit.py regresses against)")
     args = ap.parse_args()
 
+    import jax
+
+    records = []
     for regime in args.regimes:
         margins = []
         for seed in args.seeds:
@@ -137,10 +145,16 @@ def main():
                             args.per_class, args.lr,
                             graph_overrides=args.graph_opts if aug else (),
                             noise=args.noise, dataset=args.dataset)
-                r["sec"] = time.perf_counter() - t0
+                r["sec"] = round(time.perf_counter() - t0, 1)
                 row[aug] = r
             margin = row[True]["after"] - row[False]["after"]
             margins.append(margin)
+            records.append({
+                "regime": regime, "seed": seed, "dataset": args.dataset,
+                "epochs": args.epochs, "backend": jax.default_backend(),
+                "graph": row[True], "nograph": row[False],
+                "margin": round(margin, 4),
+            })
             print(f"{regime:8s} seed{seed} "
                   f"graph {row[True]['after']:.3f} "
                   f"(before {row[True]['before']:.3f}, "
@@ -155,6 +169,11 @@ def main():
                   flush=True)
         print(f"{regime:8s} mean margin {np.mean(margins):+.3f} "
               f"min {np.min(margins):+.3f}", flush=True)
+    if args.jsonl:
+        with open(args.jsonl, "a") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+        print(f"appended {len(records)} records to {args.jsonl}", flush=True)
 
 
 if __name__ == "__main__":

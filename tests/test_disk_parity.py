@@ -187,7 +187,15 @@ def test_disk_to_model_inputs_parity(both_inputs):
 @pytest.mark.slow
 def test_disk_to_features_parity(both_inputs):
     """Each side's own pipeline inputs -> S3D encoder features from ONE
-    torch init, compared at eval tolerance (the retrieval surface)."""
+    torch init, compared at eval tolerance (the retrieval surface).
+
+    Deliberate exception to the micro-shape test convention (ADVICE r4
+    item 4): the claim under test is the END-TO-END disk->features surface,
+    so it needs the real S3D at a real eval geometry (8x112x112, batch 3 —
+    the smallest size at which every stage of the production backbone and
+    cv2-matching resize path is exercised); tiny3d would not cover the
+    converter or the multi-stage resize. Costs ~1-2 min of the slow CPU
+    suite; keep it, don't copy the pattern."""
     torch = pytest.importorskip("torch")
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from fidelity_check import _head_pool, _load_ref_module

@@ -46,6 +46,14 @@ statistics + ReLU boundary flips):
                                        PRNGs cannot be synchronized;
                                        memory EMA update + renormalize,
                                        slot-0 positive, softmax-CE)
+    cmc_moco 0.074 vs control 0.346   (08-20: two encoder stacks, cross-
+                                       modal CMCMoCo logits q1·(k2,queue2)
+                                       + q2·(k1,queue1), dual-queue
+                                       enqueue, both EMAs post-step — the
+                                       reference memories executed as
+                                       ground truth composed per its
+                                       build dispatch; see
+                                       run_reference_cmc)
 
 The chaos floor is ~3-4x larger than our deviation in both regimes: the
 training recipes are indistinguishable at this scale, and any recipe bug

@@ -3,10 +3,13 @@
 Counterparts of the reference's train_ds.py hot loops (:90-160 train,
 :164-221 validation) and test_ds.py's multi-crop eval (:134-149), as jitted
 functions.  Linear probing freezes everything but ``new_fc`` via the
-optimizer mask built in ``engine.build.linear_probe_mask``; when frozen, BN
-runs on running averages (train=False path for the encoder is approximated
-by running the whole model in eval-BN mode — the reference's partial-BN
-train() override freezes all but the first BN, model_wrappers.py:130-146).
+optimizer mask built in ``engine.build.linear_probe_mask``.  Frozen-encoder
+BN semantics are selected by ``MODEL.PROBE_BN`` (tools/train_ds.py:95-107):
+``'eval'`` (default) runs the whole encoder on running averages;
+``'reference'`` reproduces the reference's partial-BN train() override
+exactly — all BNs frozen EXCEPT the first, which keeps updating batch stats
+(model_wrappers.py:130-146).  A/B'd in perf/probe_bn_lab.py: reference mode
+loses 12.5-16.7 val points on the smoke task, so 'eval' is the default.
 """
 
 from __future__ import annotations
