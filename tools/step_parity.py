@@ -54,8 +54,14 @@ statistics + ReLU boundary flips):
                                        ground truth composed per its
                                        build dispatch; see
                                        run_reference_cmc)
+    cmc_bank 0.058 vs control 0.324   (08-20: one view, cross-modal CMCMem
+                                       logits x1·mem2[idx] + x2·mem1[idx],
+                                       ONE shared pinned idx matrix for
+                                       both selects (mem_bank.py:124-130
+                                       draws once), both memories
+                                       EMA-updated + renormalized)
 
-The chaos floor is ~3-4x larger than our deviation in both regimes: the
+The chaos floor is ~3-6x larger than our deviation in every regime: the
 training recipes are indistinguishable at this scale, and any recipe bug
 (wrong decay mask, momentum, lr grouping, loss sign, EMA/queue order:
 all O(1) signals) is excluded.
@@ -101,10 +107,11 @@ def build_cfg(args):
     c.MODEL.PRETRAINED = False
     c.INPUT.MODALITY = "RGB"
     c.INPUT.VIDEO_LENGTH = args.frames
-    if args.regime == "cmc_moco":
+    if args.regime.startswith("cmc_"):
         # CMC: two-modality contrast (reference memory dispatch:
-        # lib/memory/build.py:5-13 — CMCMoCo when CROSS.MODALITY!='visual')
-        c.CONTRAST.MEM_TYPE = "moco"
+        # lib/memory/build.py:5-13 — CMCMoCo/CMCMem when
+        # CROSS.MODALITY!='visual')
+        c.CONTRAST.MEM_TYPE = args.regime[len("cmc_"):]
         c.CROSS.MODALITY = "diff"
     else:
         c.CONTRAST.MEM_TYPE = args.regime
@@ -191,18 +198,27 @@ def _np_temporal_diff(x: np.ndarray) -> np.ndarray:
     return np.concatenate([d[:, :1], d], axis=1).astype(x.dtype)
 
 
-def run_reference_cmc(cfg, batches, steps, perturb=0.0, seed=0):
-    """N CMC-MoCo steps with the reference memory/criterion executed as
-    ground truth, composed the way the reference's build dispatch intends
-    (lib/memory/build.py:5-13 selects CMCMoCo when CROSS.MODALITY!='visual';
-    its tools never build the second encoder, so the model composition here
-    is the natural container: one GraphWrapper stack per modality, the
-    modality-2 stream being the temporal difference — matching our
-    models.wrappers.CmcWrapper).  Training order follows _train_moco
-    (tools/train_video_contrast_dis.py:374-466) with the four-stream CMCMoCo
-    forward (mem_moco.py:101-142): no-grad EMA keys k1/k2 from view 2,
-    query passes q1/q2 from view 1, loss = CE(logits1) + CE(logits2),
-    post-step EMA momentum update on both stacks."""
+def run_reference_cmc(cfg, batches, steps, perturb=0.0, seed=0,
+                      fixed_neg_idx=None):
+    """N CMC steps with the reference memory/criterion executed as ground
+    truth, composed the way the reference's build dispatch intends
+    (lib/memory/build.py:5-13 selects CMCMoCo/CMCMem when
+    CROSS.MODALITY!='visual'; its tools never build the second encoder, so
+    the model composition here is the natural container: one GraphWrapper
+    stack per modality, the modality-2 stream being the temporal
+    difference — matching our models.wrappers.CmcWrapper).
+
+    moco: training order follows _train_moco (tools/train_video_contrast_
+    dis.py:374-466) with the four-stream CMCMoCo forward (mem_moco.py:
+    101-142): no-grad EMA keys k1/k2 from view 2, query passes q1/q2 from
+    view 1, loss = CE(logits1) + CE(logits2), post-step EMA momentum update
+    on both stacks.
+
+    bank: _train_ins order (:292-341) with the two-stream CMCMem forward
+    (mem_bank.py:107-154): one view, cross-modal logits against the OTHER
+    modality's memory rows, both memories EMA-updated; the alias draw is
+    PINNED to the shared ``fixed_neg_idx`` matrix (same reasoning as the
+    single-modality bank regime)."""
     import torch
     from torch import nn
 
@@ -211,7 +227,12 @@ def run_reference_cmc(cfg, batches, steps, perturb=0.0, seed=0):
     from lib.solver.build import make_optimizer as ref_make_optimizer
 
     torch.Tensor.cuda = lambda self, *a, **kw: self  # CPU ground-truth run
+    from lib.memory.alias_multinomial import AliasMethod
+    AliasMethod.cuda = lambda self, *a, **kw: None
     from lib.memory.build import create_contrast, create_criterion
+
+    mem_type = str(cfg.CONTRAST.MEM_TYPE)
+    n_data = batches[0][0].shape[0]
 
     torch.manual_seed(seed)
     container = nn.Module()
@@ -219,29 +240,35 @@ def run_reference_cmc(cfg, batches, steps, perturb=0.0, seed=0):
     for stack in ("model_1", "model_2"):
         m, e = ref_create(cfg)
         setattr(container, stack, m)
-        with torch.no_grad():
-            for p1, p2 in zip(m.parameters(), e.parameters()):
-                p2.copy_(p1)
-        e.eval()
-        for mod in e.modules():
-            if "BatchNorm" in mod.__class__.__name__:
-                mod.train()
-        emas[stack] = e
+        if mem_type == "moco":
+            with torch.no_grad():
+                for p1, p2 in zip(m.parameters(), e.parameters()):
+                    p2.copy_(p1)
+            e.eval()
+            for mod in e.modules():
+                if "BatchNorm" in mod.__class__.__name__:
+                    mod.train()
+            emas[stack] = e
     container.train()
     opt = ref_make_optimizer(cfg, container)
-    contrast = create_contrast(cfg, n_data=1)     # -> CMCMoCo
-    criterion = create_criterion(cfg, n_data=1)   # -> NCESoftmaxLoss
+    contrast = create_contrast(cfg, n_data=n_data)  # CMCMoCo / CMCMem
+    criterion = create_criterion(cfg, n_data=n_data)
+    if mem_type == "bank":
+        flat = torch.from_numpy(
+            np.ascontiguousarray(fixed_neg_idx.reshape(-1))).long()
+        contrast.multinomial.draw = lambda n: flat[:n].clone()
 
     sd0 = {k: v.detach().clone().numpy()
            for k, v in container.state_dict().items()}
     payload0 = {
         "state_dict": sd0,
-        "model_ema": {f"{s}.{k}": v.detach().clone().numpy()
-                      for s, e in emas.items()
-                      for k, v in e.state_dict().items()},
         "contrast": {k: v.detach().clone().numpy()
                      for k, v in contrast.state_dict().items()},
     }
+    if mem_type == "moco":
+        payload0["model_ema"] = {
+            f"{s}.{k}": v.detach().clone().numpy()
+            for s, e in emas.items() for k, v in e.state_dict().items()}
 
     gp = np.random.default_rng(1234)
     alpha = float(cfg.CONTRAST.ALPHA)
@@ -257,21 +284,32 @@ def run_reference_cmc(cfg, batches, steps, perturb=0.0, seed=0):
         def to_t(x):
             return torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
 
-        with torch.no_grad():
-            k1 = emas["model_1"](to_t(x2))
-            k2 = emas["model_2"](to_t(_np_temporal_diff(x2)))
-        opt.zero_grad()
-        q1 = container.model_1(to_t(x1))
-        q2 = container.model_2(to_t(_np_temporal_diff(x1)))
-        out1, out2, _labels = contrast(q1, k1, q2, k2)
-        loss = criterion(out1) + criterion(out2)
+        if mem_type == "bank":
+            # one view per sample; single process, so the all_* gathers
+            # are the locals themselves (mem_bank.py:144-149)
+            index = torch.arange(x1.shape[0], dtype=torch.long)
+            opt.zero_grad()
+            f1 = container.model_1(to_t(x1))
+            f2 = container.model_2(to_t(_np_temporal_diff(x1)))
+            out1, out2, _labels = contrast(f1, f2, index)
+            loss = criterion(out1) + criterion(out2)
+        else:
+            with torch.no_grad():
+                k1 = emas["model_1"](to_t(x2))
+                k2 = emas["model_2"](to_t(_np_temporal_diff(x2)))
+            opt.zero_grad()
+            q1 = container.model_1(to_t(x1))
+            q2 = container.model_2(to_t(_np_temporal_diff(x1)))
+            out1, out2, _labels = contrast(q1, k1, q2, k2)
+            loss = criterion(out1) + criterion(out2)
         loss.backward()
         opt.step()
-        with torch.no_grad():
-            for stack in ("model_1", "model_2"):
-                for p1, p2 in zip(getattr(container, stack).parameters(),
-                                  emas[stack].parameters()):
-                    p2.mul_(alpha).add_(p1, alpha=1.0 - alpha)
+        if mem_type == "moco":
+            with torch.no_grad():
+                for stack in ("model_1", "model_2"):
+                    for p1, p2 in zip(getattr(container, stack).parameters(),
+                                      emas[stack].parameters()):
+                        p2.mul_(alpha).add_(p1, alpha=1.0 - alpha)
         losses.append(float(loss.detach()))
     sd_after = {k: v.detach().clone().numpy()
                 for k, v in container.state_dict().items()}
@@ -449,7 +487,22 @@ def run_ours(cfg, payload0, batches, steps, fixed_neg_idx=None):
                                 preferred_element_type=jnp.float32) / T
             return logits, jnp.zeros((x.shape[0],), jnp.int32)
 
-        eng.bank_logits = pinned_bank_logits
+        def pinned_cmc_bank_logits(cstate, x1, x2, y, key, K, T):
+            # same single idx matrix for both cross-modal selects
+            # (reference: mem_bank.py:124-130 draws once)
+            idx = fixed.at[:, 0].set(y.astype(fixed.dtype))
+            w1 = cstate.memory_1[idx]
+            w2 = cstate.memory_2[idx]
+            l1 = jnp.einsum("bkd,bd->bk", w2, x1,
+                            preferred_element_type=jnp.float32) / T
+            l2 = jnp.einsum("bkd,bd->bk", w1, x2,
+                            preferred_element_type=jnp.float32) / T
+            return l1, l2, jnp.zeros((x1.shape[0],), jnp.int32)
+
+        if cmc:
+            eng.cmc_bank_logits = pinned_cmc_bank_logits
+        else:
+            eng.bank_logits = pinned_bank_logits
 
     step = jax.jit(make_pretrain_step(cfg, model, tx, n_data=n_data))
     lr = float(cfg.SOLVER.BASE_LR)
@@ -481,7 +534,8 @@ def run_ours(cfg, payload0, batches, steps, fixed_neg_idx=None):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--regime",
-                    choices=["simsiam", "moco", "bank", "cmc_moco"],
+                    choices=["simsiam", "moco", "bank", "cmc_moco",
+                             "cmc_bank"],
                     default="simsiam")
     ap.add_argument("--aug", action="store_true",
                     help="MODEL.AUG_FLAG=True: lockstep through the GCA "
@@ -521,13 +575,14 @@ def main(argv=None):
     # alias draw is the regime's only stochastic input)
     fixed_neg_idx = g.integers(
         0, args.batch, (args.batch, int(cfg.CONTRAST.NCE_K) + 1)
-    ).astype(np.int64) if args.regime == "bank" else None
+    ).astype(np.int64) if args.regime.endswith("bank") else None
 
-    if args.regime == "cmc_moco":
+    if args.regime.startswith("cmc_"):
         ref_losses, payload0, ref_after = run_reference_cmc(
-            cfg, batches, args.steps)
+            cfg, batches, args.steps, fixed_neg_idx=fixed_neg_idx)
         ctl_losses, _p0c, ctl_after = run_reference_cmc(
-            cfg, batches, args.steps, perturb=args.control_eps)
+            cfg, batches, args.steps, perturb=args.control_eps,
+            fixed_neg_idx=fixed_neg_idx)
     else:
         ref_losses, payload0, ref_after = run_reference(
             cfg, batches, args.steps, fixed_neg_idx=fixed_neg_idx)
