@@ -200,8 +200,10 @@ _C.GRAPH.USE_PALLAS = False
 # Exact same math (fp32 accumulation, bf16-cast adjacency).  Chip verdict
 # r5 (perf/CHIP_QUEUE_r05.jsonl): Mosaic rejects non-lane-aligned C (2 of 3
 # S3D aug points) and the lane-aligned point loses ~2x on fwd+bwd — premise
-# refuted; default stays OFF.  The kernel auto-falls back to the XLA einsum
-# off-TPU and for C % 128 != 0.
+# refuted; default stays OFF.  Full-step confirmation (same ledger,
+# gca_defaults_paired_sweep): the flag costs -5.5% on the GCA step
+# (1207.9 vs 1278.7 clips/s).  The kernel auto-falls back to the XLA
+# einsum off-TPU and for C % 128 != 0.
 _C.GRAPH.PROPAGATE_PALLAS = False
 
 # ---------------------------------------------------------------------------- #
