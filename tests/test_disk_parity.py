@@ -218,7 +218,11 @@ def test_disk_to_features_parity(both_inputs):
     model = S3D(num_classes=None, dtype=jnp.float32)
     encode = jax.jit(lambda x: model.apply(
         {"params": params, "batch_stats": stats}, x, train=False))
-    ours = np.asarray(encode(jnp.asarray(our_inputs)))
+    # fp32 torch is the ground truth here: pin fp32 conv/matmul precision
+    # (TPU's default lowers fp32 contractions to bf16 passes, ~5e-3 rel —
+    # same pinning as tests/test_cmc_memory_golden.py).
+    with jax.default_matmul_precision("float32"):
+        ours = np.asarray(encode(jnp.asarray(our_inputs)))
 
     rel = (np.linalg.norm(ours - theirs)
            / max(np.linalg.norm(theirs), 1e-12))

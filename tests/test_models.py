@@ -90,6 +90,23 @@ def test_factories(tiny_cfg):
     assert feat2 == 64
 
 
+def test_graph_aug_points_override():
+    """GRAPH.AUG_POINTS overrides the backbone registry's per-backbone
+    aug-point list (reference hardcodes it, visual_wrappers.py:115-123);
+    () keeps the registry default; no-aug paths stay empty either way."""
+    from video_graph_ssl_tpu.config import cfg as base
+    c = base.clone()
+    c.MODEL.BACKBONE = "S3D"
+    c.MODEL.BACKBONE_TYPE = "3D"
+    enc, _ = encoder_cfg_from(c, aug_flag=True)
+    assert enc["aug_points"] == (5, 9, 14)  # registry default == reference
+    c.GRAPH.AUG_POINTS = (5, 9)
+    enc, _ = encoder_cfg_from(c, aug_flag=True)
+    assert enc["aug_points"] == (5, 9)
+    enc, _ = encoder_cfg_from(c, aug_flag=False)
+    assert enc["aug_points"] == ()
+
+
 def test_unknown_backbone_raises(tiny_cfg):
     c = tiny_cfg.clone()
     c.MODEL.BACKBONE = "nope"

@@ -71,6 +71,24 @@ tight while chaos grows — ours-vs-reference 0.107 vs control 0.322.  A
 recipe bug compounds with horizon; lockstep tracking that HOLDS at 8
 steps under doubled batch is much stronger evidence than the 3-step run.
 
+Graph path (--aug: similarity adjacency + hop reweighting + GCN backprop,
+GRAPH.SAMPLER=none both sides; 08-20, fp32 CPU):
+
+    moco+graph  5 steps batch 8   0.103 vs control 0.400
+    moco+graph  8 steps batch 16  0.155 vs control 0.249
+
+both at --size 32 --aug_points 5 9: the reference's OWN geometry
+constraint forces dropping base.14 at micro inputs (g_q halves channels
+then MaxPool3d((1,2,2)), temporal_graph.py:76-86 — at size 32, base.14
+sits at 1x1 spatial and the pool emits size 0).  The full three-point
+stack needs --size >= 64, and there the metric SATURATES: the reference
+against ITSELF under a 1e-4 perturbation reaches ~sqrt(2) (= fully
+decorrelated updates) within 3 steps (3/5/8-step controls 1.405/1.497/
+1.504; ours lands AT that floor, 1.270/1.467/1.475) — backprop through
+the similarity graph at 8x8..2x2 pooled spatial is hyper-chaotic and no
+implementation can track it, so the sub-saturated two-point rows above
+are the informative graph-path evidence at long horizon.
+
 Run (CPU, ~4-8 min each):
     PYTHONPATH= JAX_PLATFORMS=cpu python tools/step_parity.py --steps 3
     PYTHONPATH= JAX_PLATFORMS=cpu python tools/step_parity.py --regime moco --steps 3
@@ -89,6 +107,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF_ROOT = "/root/reference"
 
+# When set (by main, from --aug_points), the reference wrapper only wraps
+# these dotted stage names — lockstep twin of cfg.GRAPH.AUG_POINTS.
+_AUG_STAGE_ALLOWLIST = None
+
 
 def build_cfg(args):
     from video_graph_ssl_tpu.config import cfg as CFG
@@ -103,6 +125,14 @@ def build_cfg(args):
         # side (torch/jax PRNGs cannot be synchronized).  The similarity
         # adjacency + hop reweighting + GCN stack still run — and train.
         c.GRAPH.SAMPLER = "none"
+        if args.aug_points:
+            # Same subset on both sides (the reference wrapper is filtered
+            # in _patch_reference_graph via _AUG_STAGE_ALLOWLIST).  Needed
+            # for micro-geometry runs: the reference's g_q REQUIRES >=2x2
+            # spatial at every wrapped stage (conv halves channels, then
+            # MaxPool3d((1,2,2)) — temporal_graph.py:76-86), and S3D
+            # base.14 sits at size/32, so size-32 inputs must drop it.
+            c.GRAPH.AUG_POINTS = tuple(args.aug_points)
     c.MODEL.DROPOUT = 0.0          # dropout off -> deterministic
     c.MODEL.PRETRAINED = False
     c.INPUT.MODALITY = "RGB"
@@ -161,6 +191,9 @@ def _patch_reference_graph():
         lambda self, adj: adj
 
     def fixed_build_aug_block(base_model, module_name_list, n_segments):
+        if _AUG_STAGE_ALLOWLIST is not None:
+            module_name_list = [m for m in module_name_list
+                                if m in _AUG_STAGE_ALLOWLIST]
         for module_name in module_name_list:
             parts = module_name.split(".")
             parent = base_model
@@ -542,6 +575,11 @@ def main(argv=None):
                          "graph path (similarity adjacency + GCN), "
                          "deterministic via GRAPH.SAMPLER=none on both "
                          "sides (see _patch_reference_graph)")
+    ap.add_argument("--aug_points", nargs="*", type=int, default=[],
+                    help="restrict the graph blocks to these S3D base "
+                         "indices on BOTH sides (e.g. 5 9); empty = the "
+                         "full reference list (5 9 14), which needs "
+                         "--size >= 64")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=16)
@@ -560,6 +598,10 @@ def main(argv=None):
                     help="pass if ours-vs-reference deviation <= factor x "
                          "the control deviation (or <= --tol)")
     args = ap.parse_args(argv)
+
+    if args.aug and args.aug_points:
+        global _AUG_STAGE_ALLOWLIST
+        _AUG_STAGE_ALLOWLIST = {f"base.{i}" for i in args.aug_points}
 
     cfg = build_cfg(args)
     g = np.random.default_rng(7)

@@ -177,6 +177,14 @@ _C.GRAPH.BN_LAYER = False
 # relaxed_bernoulli (rsample) | relaxed_bernoulli_sample (no grad through
 # the draw, reference _sample_adj_with_van) | gaussian | none
 _C.GRAPH.SAMPLER = "relaxed_bernoulli"
+# Which backbone stages get a TemporalGraphAug block.  () = the backbone
+# registry's defaults, which mirror the reference's hardcoded per-backbone
+# lists (visual_wrappers.py:115-123; S3D 'base.{5,9,14}' == aug_points
+# (5, 9, 14)).  A non-empty tuple overrides the list — beyond-reference
+# convenience: the reference geometry REQUIRES >=2x2 spatial at every
+# wrapped stage (g_q halves channels then MaxPool3d((1,2,2)),
+# temporal_graph.py:76-86), so micro-input runs must drop base.14.
+_C.GRAPH.AUG_POINTS = ()
 # Temporal neighborhood masking pre-softmax (intended semantics of the
 # reference's broken mask_frame/nei_size, temporal_graph.py:169-174).
 _C.GRAPH.MASK_FRAME = False

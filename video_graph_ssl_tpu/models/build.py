@@ -162,7 +162,8 @@ def encoder_cfg_from(cfg, aug_flag: bool,
         backbone_type=btype,
         agg_fun=cfg.MODEL.POOLING_TYPE,
         dropout=float(cfg.MODEL.DROPOUT),
-        aug_points=tuple(default_aug) if aug_flag else (),
+        aug_points=(tuple(cfg.GRAPH.AUG_POINTS) or tuple(default_aug))
+        if aug_flag else (),
         graph_cfg=graph_cfg_from(cfg) if aug_flag else None,
         remat=_resolve_remat(cfg, name),
         partial_bn=bool(partial_bn),
