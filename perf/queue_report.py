@@ -41,11 +41,21 @@ def main(path="perf/CHIP_QUEUE_r03b.jsonl"):
     for r in rows:
         if "result" in r:
             results[r["tag"]] = float(r["result"]["value"])
-        else:
+        elif "tag" in r:
             print(f"  !! {r['tag']}: {r.get('error')}")
+        else:
+            # Narrative ledger rows ({"trial": ..., "verdict": ...} — the
+            # r04/r05 measured-verdict style) have no bench value to
+            # tabulate; surface them as notes instead of crashing.
+            name = r.get("trial", r.get("name", "?"))
+            verdict = str(r.get("verdict", r.get("note", "")))
+            first = verdict.split(". ")[0][:100]
+            print(f"  -- {name}: {first}")
     if "baseline" not in results:
-        print("no baseline trial in the ledger — nothing to compare")
-        return 1
+        print("no baseline trial in the ledger — nothing to compare "
+              "(narrative-verdict ledgers carry their numbers in the "
+              "verdict text above)")
+        return 0
 
     base = results["baseline"]
     print(f"\n{'trial':<18}{'clips/s':>10}{'vs base':>9}   knobs")
