@@ -39,7 +39,7 @@ def main(path="perf/CHIP_QUEUE_r03b.jsonl"):
 
     results = {}
     for r in rows:
-        if "result" in r:
+        if "tag" in r and isinstance(r.get("result"), dict):
             results[r["tag"]] = float(r["result"]["value"])
         elif "tag" in r:
             print(f"  !! {r['tag']}: {r.get('error')}")
@@ -48,7 +48,8 @@ def main(path="perf/CHIP_QUEUE_r03b.jsonl"):
             # r04/r05 measured-verdict style) have no bench value to
             # tabulate; surface them as notes instead of crashing.
             name = r.get("trial", r.get("name", "?"))
-            verdict = str(r.get("verdict", r.get("note", "")))
+            verdict = str(r.get("verdict") or r.get("note")
+                          or r.get("result") or "")
             first = verdict.split(". ")[0][:100]
             print(f"  -- {name}: {first}")
     if "baseline" not in results:
