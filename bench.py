@@ -61,6 +61,28 @@ def _arm_watchdog():
             print(f"bench watchdog: no result after {timeout:.0f}s "
                   "(TPU relay unreachable?) — aborting", file=sys.stderr,
                   flush=True)
+            # Still emit ONE parseable JSON line so the consumer records a
+            # self-describing abort instead of an empty result.  `value` is
+            # null — NOTHING was measured this run; the embedded capture is
+            # the last committed healthy measurement of the same compute
+            # path (perf ledger, NOTES_NEXT_ROUND.md), clearly labelled.
+            print(json.dumps({
+                "metric": "gca_pretrain_clips_per_sec_per_chip",
+                "value": None,
+                "unit": "clips/s",
+                "vs_baseline": None,
+                "error": (f"no result after {timeout:.0f}s — axon TPU relay "
+                          "unresponsive (device probes answer, compiles "
+                          "hang); nothing was measured this run"),
+                "last_healthy_committed_capture": {
+                    "not_measured_this_run": True,
+                    "date": "2026-08-20T09:05Z",
+                    "gca_clips_per_sec": 1281.6,
+                    "moco_ablation_clips_per_sec": 1387.7,
+                    "note": ("same compute-path binary; see "
+                             "NOTES_NEXT_ROUND.md round-5 ledger"),
+                },
+            }), flush=True)
             os._exit(3)
 
     threading.Thread(target=watch, daemon=True).start()
